@@ -1,0 +1,368 @@
+"""ViT-Adapter (DINOv3_Adapter) — TPU-native flax implementation.
+
+Capability parity with ref: dinounet/dinov3/eval/segmentation/models/backbone/
+dinov3_adapter.py:40-484 and .../utils/ms_deform_attn.py:101-216, re-designed for
+XLA: NHWC convs, static token layouts, the deformable-attention core routed to
+either the Pallas kernel (TPU) or the pure-JAX gather (CPU), reference points and
+offset normalizers folded into compile-time constants.
+
+Token layout (input H x W, patch 16): conv queries c = concat of three scale
+grids [H/8*W/8, H/16*W/16, H/32*W/32] = 21n tokens with n = H/32*W/32; the value
+set is the single-level ViT patch grid (H/16 x W/16). Each InteractionBlock runs
+Extractor(s): MSDeformAttn(query=c, value=ViT tokens) + ConvFFN with the 21n-token
+depthwise-conv trick (ref: dinov3_adapter.py:94-109).
+"""
+
+import math
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from dinounet_tpu.configuration import use_pallas_msda
+from dinounet_tpu.models.layers import TransposedConv, bilinear_resize, conv_kaiming_init
+from dinounet_tpu.models.vit import LayerNormFp32
+from dinounet_tpu.ops.msda import ms_deform_attn_core
+
+
+def reference_points_for_grids(grids: Sequence[Tuple[int, int]]) -> np.ndarray:
+    """Normalized (x, y) cell centers, concatenated over grids -> (1, L_total, 1, 2).
+
+    ref: dinov3_adapter.py:40-53.
+    """
+    pts = []
+    for (H, W) in grids:
+        ys = (np.arange(H, dtype=np.float32) + 0.5) / H
+        xs = (np.arange(W, dtype=np.float32) + 0.5) / W
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        pts.append(np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+    ref = np.concatenate(pts, axis=0)[None, :, None, :]
+    return ref
+
+
+def _sampling_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Grid-direction bias init of the sampling-offset head (ref: ms_deform_attn.py:137-150)."""
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (M, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    flat = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == flat.shape, (shape, flat.shape)
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
+class MSDeformAttn(nn.Module):
+    """Deformable attention module: projections + sampling around reference points.
+
+    ref: ms_deform_attn.py:101-216. d_model=embed_dim, n_levels=1 on the DinoUNet
+    path (values = single-level ViT tokens), n_heads=16, n_points=4, ratio=0.5.
+    """
+    d_model: int
+    n_levels: int = 1
+    n_heads: int = 16
+    n_points: int = 4
+    ratio: float = 0.5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, query, reference_points, value_tokens,
+                 value_spatial_shapes: Sequence[Tuple[int, int]]):
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        B, Lq, _ = query.shape
+        d_value = int(self.d_model * self.ratio)
+        D = d_value // M
+
+        value = nn.Dense(d_value, dtype=self.dtype, name="value_proj")(value_tokens)
+        value = value.reshape(B, -1, M, D)
+
+        offsets = nn.Dense(
+            M * L * P * 2, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_sampling_offset_bias_init(M, L, P),
+            name="sampling_offsets",
+        )(query).astype(jnp.float32).reshape(B, Lq, M, L, P, 2)
+        attn = nn.Dense(
+            M * L * P, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).astype(jnp.float32).reshape(B, Lq, M, L * P)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(B, Lq, M, L, P)
+
+        # offset normalizer per level: (W, H) (ref: ms_deform_attn.py:192-197)
+        normalizer = np.array(
+            [[w, h] for (h, w) in value_spatial_shapes], dtype=np.float32
+        )  # (L, 2)
+        loc = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+
+        if use_pallas_msda():
+            from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+            out = ms_deform_attn_pallas(value, tuple(value_spatial_shapes), loc, attn)
+        else:
+            out = ms_deform_attn_core(value, tuple(value_spatial_shapes), loc, attn)
+        out = out.astype(self.dtype)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+
+
+class DWConvMS(nn.Module):
+    """Depthwise 3x3 applied per scale group of the 21n-token sequence.
+
+    ref: dinov3_adapter.py:94-109 (DWConv): tokens [0:16n] live on the 2H x 2W grid,
+    [16n:20n] on H x W, [20n:21n] on H/2 x W/2, where (H, W) is the 1/16 grid.
+    """
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        B, N, C = x.shape
+        n = N // 21
+        conv = nn.Conv(
+            self.dim, (3, 3), padding="SAME", feature_group_count=self.dim,
+            use_bias=True, dtype=self.dtype, kernel_init=conv_kaiming_init,
+            name="dwconv",
+        )
+        x1 = conv(x[:, : 16 * n].reshape(B, H * 2, W * 2, C)).reshape(B, 16 * n, C)
+        x2 = conv(x[:, 16 * n : 20 * n].reshape(B, H, W, C)).reshape(B, 4 * n, C)
+        x3 = conv(x[:, 20 * n :].reshape(B, H // 2, W // 2, C)).reshape(B, n, C)
+        return jnp.concatenate([x1, x2, x3], axis=1)
+
+
+class ConvFFN(nn.Module):
+    """fc1 -> multiscale DWConv -> GELU -> fc2 (ref: dinov3_adapter.py:73-91)."""
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = DWConvMS(self.hidden, dtype=self.dtype, name="dwconv")(x, H, W)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Per-sample stochastic depth (ref: dinov3_adapter.py:18-26)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+class Extractor(nn.Module):
+    """MSDeformAttn(query <- value) residual + ConvFFN residual with DropPath.
+
+    ref: dinov3_adapter.py:112-156. `with_cp` (torch grad checkpointing) maps to
+    nn.remat at the DINOv3Adapter level.
+    """
+    dim: int
+    num_heads: int = 16
+    n_points: int = 4
+    deform_ratio: float = 0.5
+    cffn_ratio: float = 0.25
+    drop_path_rate: float = 0.0
+    with_cffn: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, query, reference_points, feat,
+                 value_spatial_shapes, H_c: int, W_c: int, train: bool = False):
+        attn = MSDeformAttn(
+            d_model=self.dim, n_levels=1, n_heads=self.num_heads,
+            n_points=self.n_points, ratio=self.deform_ratio, dtype=self.dtype,
+            name="attn",
+        )(
+            LayerNormFp32(1e-6, name="query_norm")(query),
+            reference_points,
+            LayerNormFp32(1e-6, name="feat_norm")(feat),
+            value_spatial_shapes,
+        )
+        query = query + attn
+        if self.with_cffn:
+            ffn_out = ConvFFN(
+                self.dim, int(self.dim * self.cffn_ratio), dtype=self.dtype, name="ffn",
+            )(LayerNormFp32(1e-6, name="ffn_norm")(query), H_c, W_c)
+            rng = self.make_rng("dropout") if (train and self.drop_path_rate > 0) else None
+            query = query + drop_path(ffn_out, self.drop_path_rate, not train, rng)
+        return query
+
+
+class InteractionBlock(nn.Module):
+    """One interaction: extractor (+2 extra extractors on the last block).
+
+    ref: dinov3_adapter.py:159-231 (InteractionBlockWithCls; the x/cls streams are
+    passed through untouched on the DinoUNet path — extract-only).
+    """
+    dim: int
+    num_heads: int
+    n_points: int
+    deform_ratio: float
+    cffn_ratio: float
+    drop_path_rate: float
+    extra_extractor: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, vit_tokens, c, reference_points, value_spatial_shapes,
+                 H_c: int, W_c: int, train: bool = False):
+        n_extract = 3 if self.extra_extractor else 1
+        for i in range(n_extract):
+            c = Extractor(
+                dim=self.dim, num_heads=self.num_heads, n_points=self.n_points,
+                deform_ratio=self.deform_ratio, cffn_ratio=self.cffn_ratio,
+                drop_path_rate=self.drop_path_rate, dtype=self.dtype,
+                name=f"extractor{i}" if i else "extractor",
+            )(c, reference_points, vit_tokens, value_spatial_shapes, H_c, W_c, train)
+        return c
+
+
+class SpatialPriorModule(nn.Module):
+    """Conv stem producing 4 scale maps (1/4..1/32), all projected to embed_dim.
+
+    ref: dinov3_adapter.py:234-302. BatchNorm (sync via GSPMD global batch).
+    """
+    inplanes: int = 64
+    embed_dim: int = 384
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def cbr(y, feats, stride, name):
+            y = nn.Conv(
+                feats, (3, 3), strides=(stride, stride), padding="SAME",
+                use_bias=False, dtype=self.dtype, kernel_init=conv_kaiming_init,
+                name=f"{name}_conv",
+            )(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name=f"{name}_bn",
+            )(y)
+            return nn.relu(y)
+
+        ip = self.inplanes
+        y = cbr(x, ip, 2, "stem1")
+        y = cbr(y, ip, 1, "stem2")
+        y = cbr(y, ip, 1, "stem3")
+        c1 = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        c2 = cbr(c1, 2 * ip, 2, "conv2")
+        c3 = cbr(c2, 4 * ip, 2, "conv3")
+        c4 = cbr(c3, 4 * ip, 2, "conv4")
+
+        def fc(y, name):
+            return nn.Conv(self.embed_dim, (1, 1), use_bias=True, dtype=self.dtype,
+                           kernel_init=conv_kaiming_init, name=name)(y)
+
+        c1 = fc(c1, "fc1")  # (B, H/4, W/4, E) stays spatial
+        c2 = fc(c2, "fc2")
+        c3 = fc(c3, "fc3")
+        c4 = fc(c4, "fc4")
+        B = x.shape[0]
+        E = self.embed_dim
+        return (
+            c1,
+            c2.reshape(B, -1, E),
+            c3.reshape(B, -1, E),
+            c4.reshape(B, -1, E),
+        )
+
+
+class DINOv3Adapter(nn.Module):
+    """Full adapter: SPM + 4 interaction blocks + scale assembly + BN.
+
+    ref: dinov3_adapter.py:305-484. Takes the frozen backbone's intermediate
+    outputs (list of (patch_tokens, cls)) instead of calling the backbone itself,
+    so the caller controls backbone sharding/remat/stop_gradient.
+    """
+    embed_dim: int
+    conv_inplane: int = 64
+    n_points: int = 4
+    deform_num_heads: int = 16
+    drop_path_rate: float = 0.3
+    cffn_ratio: float = 0.25
+    deform_ratio: float = 0.5
+    add_vit_feature: bool = True
+    use_extra_extractor: bool = True
+    patch_size: int = 16
+    remat: bool = False  # 'with_cp' equivalent: rematerialize interaction blocks
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, backbone_outputs: List[Tuple[jnp.ndarray, jnp.ndarray]],
+                 train: bool = False):
+        B, H, W, _ = x.shape
+        E = self.embed_dim
+        H_c, W_c = H // 16, W // 16
+        H_t, W_t = H // self.patch_size, W // self.patch_size
+
+        c1, c2, c3, c4 = SpatialPriorModule(
+            self.conv_inplane, E, dtype=self.dtype, name="spm"
+        )(x, train=train)
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (3, E), jnp.float32
+        ).astype(c2.dtype)
+        n2, n3, n4 = c2.shape[1], c3.shape[1], c4.shape[1]
+        c = jnp.concatenate(
+            [c2 + level_embed[0], c3 + level_embed[1], c4 + level_embed[2]], axis=1
+        )
+
+        ref_points = jnp.asarray(
+            reference_points_for_grids(
+                [(H // 8, W // 8), (H // 16, W // 16), (H // 32, W // 32)]
+            )
+        )
+        value_shapes = ((H_t, W_t),)
+
+        block_cls = InteractionBlock
+        if self.remat:
+            block_cls = nn.remat(InteractionBlock, static_argnums=(4, 5, 6))
+
+        outs = []
+        n_blocks = len(backbone_outputs)
+        for i, (vit_tokens, _cls) in enumerate(backbone_outputs):
+            c = block_cls(
+                dim=E, num_heads=self.deform_num_heads, n_points=self.n_points,
+                deform_ratio=self.deform_ratio, cffn_ratio=self.cffn_ratio,
+                drop_path_rate=self.drop_path_rate,
+                extra_extractor=(i == n_blocks - 1) and self.use_extra_extractor,
+                dtype=self.dtype, name=f"interaction{i}",
+            )(vit_tokens, c, ref_points, value_shapes, H_c, W_c, train)
+            outs.append(vit_tokens.reshape(B, H_t, W_t, E))
+
+        # split conv-token stream back into spatial maps
+        c2 = c[:, :n2].reshape(B, H_c * 2, W_c * 2, E)
+        c3 = c[:, n2 : n2 + n3].reshape(B, H_c, W_c, E)
+        c4 = c[:, n2 + n3 :].reshape(B, H_c // 2, W_c // 2, E)
+        c1 = TransposedConv(E, (2, 2), dtype=self.dtype, name="up")(c2) + c1
+
+        if self.add_vit_feature:
+            x1 = bilinear_resize(outs[0], (4 * H_c, 4 * W_c))
+            x2 = bilinear_resize(outs[1], (2 * H_c, 2 * W_c))
+            x3 = bilinear_resize(outs[2], (H_c, W_c))
+            x4 = bilinear_resize(outs[3], (H_c // 2, W_c // 2))
+            c1, c2, c3, c4 = c1 + x1, c2 + x2, c3 + x3, c4 + x4
+
+        feats = []
+        for i, ci in enumerate((c1, c2, c3, c4)):
+            feats.append(
+                nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=jnp.float32, name=f"out_norm{i + 1}",
+                )(ci)
+            )
+        return feats  # [(B,H/4,W/4,E), (B,H/8,W/8,E), (B,H/16,W/16,E), (B,H/32,W/32,E)]

@@ -1,0 +1,217 @@
+"""Shared conv building blocks (NHWC) for the adapter / FAPM / U-Net decoder.
+
+Norm and nonlinearity choices come from plans.json architecture strings
+(resolved via dinounet_tpu.utilities.registry.resolve_op_name), mirroring how
+the reference instantiates torch ops from plans
+(ref: dinounet_training.py:668-694, dynamic_network_architectures StackedConvBlocks).
+
+BatchNorm under pjit/GSPMD normalizes over the logically-global batch, so the
+reference's SyncBatchNorm (ref: dinov3_adapter.py:361-364) comes for free.
+"""
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# kaiming_normal with fan_out/relu gain, matching the reference's conv init
+# (ref: dinov3_adapter.py:380-385 normal(0, sqrt(2/fan_out)))
+conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def nonlin_fn(name: str, kwargs: Optional[dict] = None) -> Callable:
+    kwargs = kwargs or {}
+    if name == "leaky_relu":
+        slope = kwargs.get("negative_slope", 0.01)
+        return lambda x: nn.leaky_relu(x, negative_slope=slope)
+    if name == "relu":
+        return nn.relu
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    if name == "none":
+        return lambda x: x
+    raise KeyError(f"Unknown nonlinearity {name}")
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d(affine=True, track_running_stats=False) equivalent, NHWC.
+
+    Stateless (no running stats) => jit-friendly; normalizes over H, W per
+    (sample, channel), fp32 math.
+    """
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = xf.mean(axes, keepdims=True)
+        var = xf.var(axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """Dispatch on a semantic norm name ('instancenorm' | 'batchnorm' | 'none')."""
+    kind: str
+    eps: float = 1e-5
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind == "instancenorm":
+            return InstanceNorm(self.eps, name="norm")(x)
+        if self.kind == "batchnorm":
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=self.momentum,
+                epsilon=self.eps, dtype=jnp.float32, name="norm",
+            )(x)
+        if self.kind == "none":
+            return x
+        raise KeyError(f"Unknown norm kind {self.kind}")
+
+
+class ConvNormAct(nn.Module):
+    """conv -> [dropout] -> norm -> nonlin (nnU-Net ConvDropoutNormReLU order)."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    norm: str = "instancenorm"
+    norm_kwargs: Optional[dict] = None
+    nonlin: str = "leaky_relu"
+    nonlin_kwargs: Optional[dict] = None
+    conv_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, self.kernel_size, strides=self.strides, padding="SAME",
+            use_bias=self.conv_bias, dtype=self.dtype, kernel_init=conv_kaiming_init,
+            name="conv",
+        )(x)
+        nk = self.norm_kwargs or {}
+        x = Norm(self.norm, eps=nk.get("eps", 1e-5), name="norm")(x, train=train)
+        return nonlin_fn(self.nonlin, self.nonlin_kwargs)(x)
+
+
+class StackedConvBlocks(nn.Module):
+    """n ConvNormAct blocks; first maps in->out channels, the rest out->out.
+
+    Parity with dynamic_network_architectures.StackedConvBlocks as used by the
+    decoder (ref: dinounet_training.py:581-592).
+    """
+    n_convs: int
+    features: int
+    kernel_size: Tuple[int, int]
+    norm: str
+    norm_kwargs: Optional[dict]
+    nonlin: str
+    nonlin_kwargs: Optional[dict]
+    conv_bias: bool
+    dtype: jnp.dtype = jnp.bfloat16
+    initial_strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_convs):
+            x = ConvNormAct(
+                self.features, self.kernel_size,
+                strides=self.initial_strides if i == 0 else (1, 1),
+                norm=self.norm, norm_kwargs=self.norm_kwargs,
+                nonlin=self.nonlin, nonlin_kwargs=self.nonlin_kwargs,
+                conv_bias=self.conv_bias, dtype=self.dtype, name=f"conv{i}",
+            )(x, train=train)
+        return x
+
+
+class SqueezeExcitation(nn.Module):
+    """SE block (ref: dinounet_training.py:210-225)."""
+    reduction: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        reduced = max(1, ch // self.reduction)
+        w = x.astype(jnp.float32).mean(axis=(1, 2), keepdims=True).astype(x.dtype)
+        w = nn.Conv(reduced, (1, 1), use_bias=True, dtype=self.dtype, name="fc1")(w)
+        w = nn.relu(w)
+        w = nn.Conv(ch, (1, 1), use_bias=True, dtype=self.dtype, name="fc2")(w)
+        return x * nn.sigmoid(w)
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """depthwise 3x3 -> pointwise 1x1 -> norm -> act (ref: dinounet_training.py:228-246)."""
+    features: int
+    norm: str = "instancenorm"
+    norm_kwargs: Optional[dict] = None
+    nonlin: str = "leaky_relu"
+    nonlin_kwargs: Optional[dict] = None
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch, (3, 3), padding="SAME", feature_group_count=in_ch,
+            use_bias=self.use_bias, dtype=self.dtype, kernel_init=conv_kaiming_init,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=conv_kaiming_init, name="pointwise",
+        )(x)
+        x = Norm(self.norm, name="norm")(x, train=train)
+        return nonlin_fn(self.nonlin, self.nonlin_kwargs)(x)
+
+
+class TransposedConv(nn.Module):
+    """ConvTranspose2d(kernel=stride) equivalent: exact x2 (or sxs) upsampling."""
+    features: int
+    stride: Tuple[int, int] = (2, 2)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features, kernel_size=self.stride, strides=self.stride,
+            padding="VALID", use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=conv_kaiming_init, name="transpconv",
+        )(x)
+
+
+def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize NHWC, matching F.interpolate(align_corners=False)."""
+    B, H, W, C = x.shape
+    out = jax.image.resize(
+        x.astype(jnp.float32), (B, size[0], size[1], C), method="linear"
+    )
+    return out.astype(x.dtype)
+
+
+class LearnableUpsample(nn.Module):
+    """Repeated shared 2x transposed conv to >= target, then bilinear to exact size.
+
+    ref: dinounet_training.py:249-264. The number of doublings is static given the
+    (static) input/target sizes, so this unrolls cleanly under jit.
+    """
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, target_size: Tuple[int, int]):
+        ch = x.shape[-1]
+        up2 = TransposedConv(ch, (2, 2), use_bias=True, dtype=self.dtype, name="up2")
+        h, w = x.shape[1], x.shape[2]
+        while h * 2 <= target_size[0] and w * 2 <= target_size[1]:
+            x = up2(x)
+            h, w = x.shape[1], x.shape[2]
+        if (h, w) != tuple(target_size):
+            x = bilinear_resize(x, target_size)
+        return x

@@ -1,0 +1,256 @@
+"""DINOv3 Vision Transformer backbone, TPU-native (flax.linen, NHWC).
+
+Capability parity with ref: dinounet/dinov3/models/vision_transformer.py:55-412 and
+dinounet/dinov3/layers/{attention.py,rope_position_encoding.py,block.py,ffn_layers.py,
+patch_embed.py,layer_scale.py,rms_norm.py} — re-designed for XLA:
+
+  * NHWC patch embedding (one conv = one MXU matmul per patch grid).
+  * Axial RoPE (no learned pos-embed): sin/cos computed once per (H, W) in fp32,
+    applied to the patch-token segment of q/k only (cls + storage tokens skipped),
+    mirroring ref attention.py:66-85.
+  * Fused QKV projection; attention via jax.nn.dot_product_attention (XLA picks the
+    fused TPU path); bf16 matmuls with fp32 layernorms — the same numerics as the
+    reference's `torch.autocast(bf16)` evaluation of the frozen backbone
+    (ref: dinov3_adapter.py:422-426).
+  * The `mask_k_bias` trick (ref attention.py:30-40) is folded into the checkpoint
+    conversion: the k-section of the qkv bias is zeroed once at load time.
+
+The backbone is always frozen in DinoUNet; callers wrap outputs in
+jax.lax.stop_gradient so XLA never builds its backward graph.
+"""
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    ffn_ratio: float = 4.0
+    ffn_layer: str = "mlp"  # "mlp" | "swiglu" (align 64 handled below)
+    swiglu_align: int = 64
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    layerscale_init: float = 1e-5
+    n_storage_tokens: int = 4
+    patch_size: int = 16
+    norm_eps: float = 1e-5  # 'layernormbf16' (ref vision_transformer.py:29)
+    rope_base: float = 100.0
+    dtype: str = "bfloat16"  # compute dtype for matmuls
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def n_prefix_tokens(self) -> int:
+        return 1 + self.n_storage_tokens
+
+    @property
+    def ffn_hidden(self) -> int:
+        if self.ffn_layer == "mlp":
+            return int(self.embed_dim * self.ffn_ratio)
+        d = int(int(self.embed_dim * self.ffn_ratio) * 2 / 3)
+        return d + (-d % self.swiglu_align)
+
+
+# Exact hyperparameters of the published checkpoints
+# (ref: dinounet/dinov3/hub/backbones.py:201-237,279-317,318-373,452-494).
+VIT_CONFIGS = {
+    "dinov3_vits16": ViTConfig(embed_dim=384, depth=12, num_heads=6, ffn_ratio=4,
+                               ffn_layer="mlp", qkv_bias=True),
+    "dinov3_vitb16": ViTConfig(embed_dim=768, depth=12, num_heads=12, ffn_ratio=4,
+                               ffn_layer="mlp", qkv_bias=True),
+    "dinov3_vitl16": ViTConfig(embed_dim=1024, depth=24, num_heads=16, ffn_ratio=4,
+                               ffn_layer="mlp", qkv_bias=True),
+    "dinov3_vit7b16": ViTConfig(embed_dim=4096, depth=40, num_heads=32, ffn_ratio=3,
+                                ffn_layer="swiglu", swiglu_align=64, qkv_bias=False),
+}
+
+
+def rope_sincos(H: int, W: int, head_dim: int, base: float = 100.0,
+                dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Axial RoPE tables for an H x W patch grid -> (sin, cos), each [H*W, head_dim].
+
+    ref: dinov3/layers/rope_position_encoding.py:57-110 (normalize_coords='separate',
+    eval path: no shift/jitter/rescale augmentation).
+    """
+    periods = base ** (2 * jnp.arange(head_dim // 4, dtype=dtype) / (head_dim // 2))
+    coords_h = (jnp.arange(0.5, H, dtype=dtype) / H) * 2.0 - 1.0  # [H] in [-1, 1]
+    coords_w = (jnp.arange(0.5, W, dtype=dtype) / W) * 2.0 - 1.0  # [W]
+    hh = jnp.broadcast_to(coords_h[:, None], (H, W))
+    ww = jnp.broadcast_to(coords_w[None, :], (H, W))
+    coords = jnp.stack([hh, ww], axis=-1).reshape(H * W, 2)  # [HW, 2]
+    angles = 2 * math.pi * coords[:, :, None] / periods[None, None, :]  # [HW, 2, d/4]
+    angles = angles.reshape(H * W, head_dim // 2)
+    angles = jnp.tile(angles, (1, 2))  # [HW, head_dim]
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def rope_apply(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+    """x: [..., HW, D]; sin/cos: [HW, D] (ref attention.py:16-27)."""
+    d_half = x.shape[-1] // 2
+    x1 = x[..., :d_half]
+    x2 = x[..., d_half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm computed in fp32 regardless of input dtype (autocast semantics)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]):
+        cfg = self.cfg
+        B, N, C = x.shape
+        M, Dh = cfg.num_heads, cfg.head_dim
+        cdt = jnp.dtype(cfg.dtype)
+
+        qkv = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cdt, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, M, Dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, M, Dh)
+
+        if rope is not None:
+            sin, cos = rope
+            p = cfg.n_prefix_tokens
+            # rope in fp32 (ref attention.py:66-85 uses the rope dtype, fp32 for
+            # the published checkpoints), cast back to compute dtype
+            def _ap(t):
+                tp = t[:, p:].astype(jnp.float32).transpose(0, 2, 1, 3)  # (B,M,hw,Dh)
+                tp = rope_apply(tp, sin, cos).transpose(0, 2, 1, 3)
+                return jnp.concatenate([t[:, :p], tp.astype(t.dtype)], axis=1)
+            q = _ap(q)
+            k = _ap(k)
+
+        o = jax.nn.dot_product_attention(q, k, v)  # (B, N, M, Dh)
+        o = o.reshape(B, N, C)
+        return nn.Dense(C, use_bias=cfg.proj_bias, dtype=cdt, name="proj")(o)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        cdt = jnp.dtype(cfg.dtype)
+        h = nn.Dense(cfg.ffn_hidden, use_bias=cfg.ffn_bias, dtype=cdt, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(cfg.embed_dim, use_bias=cfg.ffn_bias, dtype=cdt, name="fc2")(h)
+
+
+class SwiGLU(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        cdt = jnp.dtype(cfg.dtype)
+        x1 = nn.Dense(cfg.ffn_hidden, use_bias=cfg.ffn_bias, dtype=cdt, name="w1")(x)
+        x2 = nn.Dense(cfg.ffn_hidden, use_bias=cfg.ffn_bias, dtype=cdt, name="w2")(x)
+        return nn.Dense(cfg.embed_dim, use_bias=cfg.ffn_bias, dtype=cdt, name="w3")(
+            nn.silu(x1) * x2
+        )
+
+
+class Block(nn.Module):
+    """Pre-norm attn + LayerScale residual, pre-norm FFN + LayerScale residual.
+
+    ref: dinov3/layers/block.py:21-125 (eval path; the frozen backbone never uses
+    the sample-level stochastic-depth branch).
+    """
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, rope):
+        cfg = self.cfg
+        ls_init = nn.initializers.constant(cfg.layerscale_init)
+        y = LayerNormFp32(cfg.norm_eps, name="norm1")(x)
+        y = Attention(cfg, name="attn")(y, rope)
+        gamma1 = self.param("ls1_gamma", ls_init, (cfg.embed_dim,), jnp.float32)
+        x = x + y * gamma1.astype(y.dtype)
+        y = LayerNormFp32(cfg.norm_eps, name="norm2")(x)
+        ffn = Mlp(cfg, name="mlp") if cfg.ffn_layer == "mlp" else SwiGLU(cfg, name="mlp")
+        y = ffn(y)
+        gamma2 = self.param("ls2_gamma", ls_init, (cfg.embed_dim,), jnp.float32)
+        return x + y * gamma2.astype(y.dtype)
+
+
+class DinoViT(nn.Module):
+    """Returns normed (patch_tokens, cls_token) at the requested block indices.
+
+    Equivalent of ref vision_transformer.py `get_intermediate_layers(n=[...],
+    return_class_token=True)` (ref :281-318, norm=True, untied norms unused on the
+    published s/b/l/7b eval path).
+
+    Input: NHWC image (B, H, W, 3), H/W divisible by patch_size.
+    """
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, take_indices: Sequence[int]):
+        cfg = self.cfg
+        cdt = jnp.dtype(cfg.dtype)
+        B, H, W, _ = x.shape
+        p = cfg.patch_size
+        h, w = H // p, W // p
+
+        patches = nn.Conv(
+            cfg.embed_dim, (p, p), strides=(p, p), padding="VALID", dtype=cdt,
+            name="patch_embed",
+        )(x.astype(cdt))
+        tokens = patches.reshape(B, h * w, cfg.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.embed_dim),
+            jnp.float32,
+        )
+        storage_tokens = self.param(
+            "storage_tokens", nn.initializers.truncated_normal(0.02),
+            (1, cfg.n_storage_tokens, cfg.embed_dim), jnp.float32,
+        )
+        prefix = jnp.concatenate(
+            [cls_token, storage_tokens], axis=1
+        ).astype(cdt)
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(prefix, (B, cfg.n_prefix_tokens, cfg.embed_dim)), tokens],
+            axis=1,
+        )
+
+        sin, cos = rope_sincos(h, w, cfg.head_dim, cfg.rope_base)
+        final_norm = LayerNormFp32(cfg.norm_eps, name="norm")
+
+        take = set(int(i) for i in take_indices)
+        outputs = []
+        for i in range(cfg.depth):
+            tokens = Block(cfg, name=f"block{i}")(tokens, (sin, cos))
+            if i in take:
+                normed = final_norm(tokens)
+                outputs.append(
+                    (normed[:, cfg.n_prefix_tokens:], normed[:, 0])
+                )
+        return outputs
