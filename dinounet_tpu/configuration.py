@@ -13,16 +13,15 @@ default_num_processes = int(os.environ.get("nnUNet_def_n_proc", 8))
 # separate-z path (per-slice 2D resampling + independent z interpolation).
 ANISO_THRESHOLD = 3
 
-# Which MSDeformAttn implementation to use: "pallas" (TPU kernel) or "jax"
-# (pure-JAX gather fallback; also the numerical reference for tests).
-MSDA_IMPL = os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto")
-
-
 def use_pallas_msda() -> bool:
-    """Pallas MSDA on TPU backends, pure-JAX gather elsewhere (CPU tests)."""
-    if MSDA_IMPL == "pallas":
+    """Pallas MSDA on TPU backends, pure-JAX gather elsewhere (CPU tests).
+
+    Controlled by env DINOUNET_TPU_MSDA_IMPL in {"auto", "pallas", "jax"}.
+    """
+    impl = os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto")
+    if impl == "pallas":
         return True
-    if MSDA_IMPL == "jax":
+    if impl == "jax":
         return False
     import jax
 

@@ -1,0 +1,130 @@
+"""Model construction + forward-shape tests for the DinoUNet stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinounet_tpu.models.dinounet import DinoUNet, DinoUNetConfig
+from dinounet_tpu.models.vit import VIT_CONFIGS, DinoViT, ViTConfig, rope_sincos
+
+
+TINY_VIT = ViTConfig(embed_dim=64, depth=4, num_heads=2, ffn_ratio=2, n_storage_tokens=4)
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        vit=TINY_VIT, interaction_indexes=(0, 1, 2, 3), num_classes=3,
+        features_per_stage=(8, 16, 32, 64), n_conv_per_stage_decoder=(2, 2, 2),
+        deform_num_heads=4, fapm_rank=16, conv_inplane=8, remat_adapter=False,
+    )
+    defaults.update(kw)
+    return DinoUNetConfig(**defaults)
+
+
+class TestViT:
+    def test_rope_tables(self):
+        sin, cos = rope_sincos(4, 6, 16)
+        assert sin.shape == (24, 16) and cos.shape == (24, 16)
+        np.testing.assert_allclose(np.asarray(sin**2 + cos**2), 1.0, atol=1e-6)
+
+    def test_intermediate_layers(self):
+        model = DinoViT(TINY_VIT)
+        x = jnp.zeros((2, 32, 32, 3))
+        vars_ = model.init(jax.random.key(0), x, (1, 3))
+        outs = model.apply(vars_, x, (1, 3))
+        assert len(outs) == 2
+        patch, cls = outs[0]
+        assert patch.shape == (2, 4, 2 * 2, 64)[0:1] + (4, 64) or patch.shape == (2, 4, 64)
+        assert patch.shape == (2, 4, 64)
+        assert cls.shape == (2, 64)
+
+    def test_configs_registered(self):
+        assert set(VIT_CONFIGS) == {
+            "dinov3_vits16", "dinov3_vitb16", "dinov3_vitl16", "dinov3_vit7b16"
+        }
+        assert VIT_CONFIGS["dinov3_vit7b16"].ffn_layer == "swiglu"
+        assert not VIT_CONFIGS["dinov3_vit7b16"].qkv_bias
+
+
+class TestDinoUNet:
+    @pytest.fixture(scope="class")
+    def built(self):
+        model = DinoUNet(tiny_config())
+        x = jnp.zeros((2, 64, 64, 1))
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        return model, variables
+
+    def test_eval_forward_shape(self, built):
+        model, variables = built
+        out = model.apply(variables, jnp.ones((2, 64, 64, 1)), train=False)
+        assert out.shape == (2, 64, 64, 3)
+        assert out.dtype == jnp.float32
+
+    def test_train_forward_with_batchstats(self, built):
+        model, variables = built
+        out, mut = model.apply(
+            variables, jnp.ones((2, 64, 64, 1)), train=True,
+            rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"],
+        )
+        assert out.shape == (2, 64, 64, 3)
+        assert "batch_stats" in mut
+
+    def test_deep_supervision_outputs(self):
+        model = DinoUNet(tiny_config(deep_supervision=True))
+        x = jnp.zeros((1, 64, 64, 1))
+        variables = model.init({"params": jax.random.key(0)}, x, train=True)
+        outs = model.apply(variables, x, train=True,
+                           rngs={"dropout": jax.random.key(1)},
+                           mutable=["batch_stats"])[0]
+        assert isinstance(outs, list) and len(outs) == 3
+        assert outs[0].shape == (1, 64, 64, 3)
+        assert outs[1].shape == (1, 32, 32, 3)
+        assert outs[2].shape == (1, 16, 16, 3)
+
+    def test_multichannel_inputs(self, built):
+        model, variables = built
+        for c in (1, 3):
+            out = model.apply(variables, jnp.ones((1, 64, 64, c)), train=False)
+            assert out.shape == (1, 64, 64, 3)
+
+    def test_backbone_frozen(self, built):
+        """Gradients through the loss must be zero for backbone params."""
+        model, variables = built
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                jnp.ones((1, 64, 64, 1)), train=False,
+            )
+            return (out ** 2).mean()
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        backbone_grads = jax.tree.leaves(grads["backbone"])
+        assert all(float(jnp.abs(g).max()) == 0.0 for g in backbone_grads)
+        decoder_grads = jax.tree.leaves(grads["decoder"])
+        assert any(float(jnp.abs(g).max()) > 0.0 for g in decoder_grads)
+
+    def test_from_plans_arch(self):
+        arch = {
+            "n_stages": 7,
+            "features_per_stage": [32, 64, 128, 256, 512, 512, 512],
+            "kernel_sizes": [[3, 3]] * 7,
+            "strides": [[1, 1]] + [[2, 2]] * 6,
+            "n_conv_per_stage": [2] * 7,
+            "n_conv_per_stage_decoder": [2] * 6,
+            "conv_bias": True,
+            "norm_op": "torch.nn.modules.instancenorm.InstanceNorm2d",
+            "norm_op_kwargs": {"eps": 1e-05, "affine": True},
+            "dropout_op": None,
+            "dropout_op_kwargs": None,
+            "nonlin": "torch.nn.LeakyReLU",
+            "nonlin_kwargs": {"inplace": True},
+        }
+        cfg = DinoUNetConfig.from_plans_arch(arch, num_classes=2, model_name="dinounet_s")
+        # forced down to 4 stages (ref dinounet_training.py:703-711)
+        assert len(cfg.features_per_stage) == 4
+        assert cfg.features_per_stage == (32, 64, 128, 256)
+        assert cfg.norm == "instancenorm"
+        assert cfg.nonlin == "leaky_relu"
+        assert cfg.vit.embed_dim == 384
