@@ -1,0 +1,302 @@
+"""nnUNetPredictor: file/array prediction with fold ensembling and mirror TTA.
+
+Capability parity with ref: dinounet/inference/predict_from_raw_data.py:38-776:
+  * initialize_from_trained_model_folder: restores the trainer class by name
+    (explicit registry instead of module scanning), rebuilds the network with
+    deep supervision off, loads fold checkpoints (ref :67-130).
+  * manual_initialization for trainer-internal validation (ref :132-155).
+  * predict_from_files with num_parts/part_id sharding and overwrite handling
+    (ref :167-205,207-346).
+  * predict_logits_from_preprocessed_data: averages logits over fold
+    checkpoints (ref :466-501).
+  * sliding-window core: batched tiles on device (see sliding_window.py).
+"""
+
+import os
+from typing import List, Optional, Tuple, Union
+
+import jax
+import numpy as np
+
+from dinounet_tpu.inference.export import export_prediction_from_logits
+from dinounet_tpu.inference.sliding_window import predict_sliding_window_return_logits
+from dinounet_tpu.planning.dataset_utils import create_lists_from_splitted_dataset_folder
+from dinounet_tpu.utilities import registry
+from dinounet_tpu.utilities.json_export import load_json
+from dinounet_tpu.utilities.label_handling import determine_num_input_channels
+from dinounet_tpu.utilities.plans_handler import PlansManager
+
+
+class nnUNetPredictor:
+    def __init__(self, tile_step_size: float = 0.5, use_gaussian: bool = True,
+                 use_mirroring: bool = True, perform_everything_on_device: bool = True,
+                 device=None, verbose: bool = False, verbose_preprocessing: bool = False,
+                 allow_tqdm: bool = True, tile_batch: int = 8):
+        self.tile_step_size = tile_step_size
+        self.use_gaussian = use_gaussian
+        self.use_mirroring = use_mirroring
+        self.verbose = verbose
+        self.verbose_preprocessing = verbose_preprocessing
+        self.allow_tqdm = allow_tqdm
+        self.tile_batch = tile_batch
+        self.device = device
+
+        self.plans_manager: Optional[PlansManager] = None
+        self.configuration_manager = None
+        self.dataset_json: Optional[dict] = None
+        self.trainer_name: Optional[str] = None
+        self.network = None  # flax module
+        self.list_of_parameters: List[dict] = []  # one variables dict per fold
+        self.allowed_mirroring_axes: Optional[Tuple[int, ...]] = None
+        self.label_manager = None
+
+    # ---------------- initialization ----------------
+
+    def initialize_from_trained_model_folder(self, model_training_output_dir: str,
+                                             use_folds: Union[Tuple, List, None],
+                                             checkpoint_name: str = "checkpoint_final.pth"):
+        """ref predict_from_raw_data.py:67-130."""
+        from dinounet_tpu.training.checkpointing import load_checkpoint
+
+        if use_folds is None:
+            use_folds = self.auto_detect_available_folds(
+                model_training_output_dir, checkpoint_name
+            )
+        dataset_json = load_json(os.path.join(model_training_output_dir, "dataset.json"))
+        plans = load_json(os.path.join(model_training_output_dir, "plans.json"))
+        plans_manager = PlansManager(plans)
+
+        if isinstance(use_folds, str):
+            use_folds = [use_folds]
+
+        parameters = []
+        checkpoint = None
+        for i, f in enumerate(use_folds):
+            f = int(f) if f != "all" else f
+            checkpoint = load_checkpoint(
+                os.path.join(model_training_output_dir, f"fold_{f}", checkpoint_name)
+            )
+            if i == 0:
+                trainer_name = checkpoint["trainer_name"]
+                configuration_name = checkpoint["init_args"]["configuration"]
+                inference_allowed_mirroring_axes = checkpoint.get(
+                    "inference_allowed_mirroring_axes"
+                )
+            parameters.append(checkpoint["network_weights"])
+
+        configuration_manager = plans_manager.get_configuration(configuration_name)
+        num_input_channels = determine_num_input_channels(
+            plans_manager, configuration_manager, dataset_json
+        )
+        trainer_class = registry.trainers.get(trainer_name)
+        network = trainer_class.build_network_architecture(
+            configuration_manager.network_arch_class_name,
+            configuration_manager.network_arch_init_kwargs,
+            configuration_manager.network_arch_init_kwargs_req_import,
+            num_input_channels,
+            plans_manager.get_label_manager(dataset_json).num_segmentation_heads,
+            enable_deep_supervision=False,
+        )
+
+        self.plans_manager = plans_manager
+        self.configuration_manager = configuration_manager
+        self.list_of_parameters = parameters
+        self.network = network
+        self.dataset_json = dataset_json
+        self.trainer_name = trainer_name
+        self.allowed_mirroring_axes = inference_allowed_mirroring_axes
+        self.label_manager = plans_manager.get_label_manager(dataset_json)
+
+    def manual_initialization(self, network, plans_manager: PlansManager,
+                              configuration_manager, parameters: Optional[List[dict]],
+                              dataset_json: dict, trainer_name: str,
+                              inference_allowed_mirroring_axes: Optional[Tuple[int, ...]]):
+        """ref :132-155 (used by the trainer's internal validation)."""
+        self.plans_manager = plans_manager
+        self.configuration_manager = configuration_manager
+        self.list_of_parameters = parameters
+        self.network = network
+        self.dataset_json = dataset_json
+        self.trainer_name = trainer_name
+        self.allowed_mirroring_axes = inference_allowed_mirroring_axes
+        self.label_manager = plans_manager.get_label_manager(dataset_json)
+
+    @staticmethod
+    def auto_detect_available_folds(model_training_output_dir: str,
+                                    checkpoint_name: str) -> List[int]:
+        fold_folders = [
+            f for f in os.listdir(model_training_output_dir)
+            if f.startswith("fold_") and f != "fold_all"
+            and os.path.isfile(os.path.join(model_training_output_dir, f, checkpoint_name))
+        ]
+        assert len(fold_folders), f"No fold checkpoints in {model_training_output_dir}"
+        return sorted(int(f.split("_")[-1]) for f in fold_folders)
+
+    # ---------------- file management ----------------
+
+    def _manage_input_and_output_lists(
+        self, list_of_lists_or_source_folder, output_folder_or_list_of_truncated_output_files,
+        folder_with_segs_from_prev_stage: Optional[str] = None, overwrite: bool = True,
+        part_id: int = 0, num_parts: int = 1, save_probabilities: bool = False,
+    ):
+        """ref :167-205: folder scan, part striding, overwrite skip."""
+        if isinstance(list_of_lists_or_source_folder, str):
+            list_of_lists_or_source_folder = create_lists_from_splitted_dataset_folder(
+                list_of_lists_or_source_folder, self.dataset_json["file_ending"]
+            )
+        list_of_lists = list_of_lists_or_source_folder[part_id::num_parts]
+        caseids = [
+            os.path.basename(i[0])[: -(len(self.dataset_json["file_ending"]) + 5)]
+            for i in list_of_lists
+        ]
+
+        if isinstance(output_folder_or_list_of_truncated_output_files, str):
+            output_folder = output_folder_or_list_of_truncated_output_files
+            output_filename_truncated = [os.path.join(output_folder, c) for c in caseids]
+        elif output_folder_or_list_of_truncated_output_files is None:
+            output_filename_truncated = None
+        else:
+            output_filename_truncated = (
+                output_folder_or_list_of_truncated_output_files[part_id::num_parts]
+            )
+
+        seg_from_prev_stage_files = [
+            os.path.join(folder_with_segs_from_prev_stage, c + self.dataset_json["file_ending"])
+            if folder_with_segs_from_prev_stage is not None else None
+            for c in caseids
+        ]
+        if not overwrite and output_filename_truncated is not None:
+            tmp = [
+                os.path.isfile(i + self.dataset_json["file_ending"])
+                for i in output_filename_truncated
+            ]
+            if save_probabilities:
+                tmp2 = [os.path.isfile(i + ".npz") for i in output_filename_truncated]
+                tmp = [i and j for i, j in zip(tmp, tmp2)]
+            not_existing = [i for i, j in enumerate(tmp) if not j]
+            output_filename_truncated = [output_filename_truncated[i] for i in not_existing]
+            list_of_lists = [list_of_lists[i] for i in not_existing]
+            seg_from_prev_stage_files = [seg_from_prev_stage_files[i] for i in not_existing]
+        return list_of_lists, output_filename_truncated, seg_from_prev_stage_files
+
+    # ---------------- prediction ----------------
+
+    def _network_apply_fn(self, variables: dict):
+        model = self.network
+
+        def apply_fn(x):
+            return model.apply(variables, x, train=False)
+
+        return apply_fn
+
+    def predict_logits_from_preprocessed_data(self, data: np.ndarray) -> np.ndarray:
+        """Average logits over fold checkpoints (ref :466-501)."""
+        prediction = None
+        for params in self.list_of_parameters:
+            p = self.predict_sliding_window_return_logits(data, params)
+            prediction = p if prediction is None else prediction + p
+        return prediction / len(self.list_of_parameters)
+
+    def predict_sliding_window_return_logits(self, data: np.ndarray,
+                                             variables: Optional[dict] = None) -> np.ndarray:
+        if variables is None:
+            variables = self.list_of_parameters[0]
+        mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else None
+        patch_size = tuple(self.configuration_manager.patch_size)
+        assert len(patch_size) == 2, (
+            "3-D patch sizes not yet routed here; use the 2d configuration"
+        )
+        return predict_sliding_window_return_logits(
+            self._network_apply_fn(variables), np.asarray(data), patch_size,
+            self.label_manager.num_segmentation_heads,
+            tile_step_size=self.tile_step_size, mirror_axes=mirror_axes,
+            tile_batch=self.tile_batch, use_gaussian=self.use_gaussian,
+            verbose=self.verbose,
+        )
+
+    def predict_single_npy_array(self, input_image: np.ndarray, image_properties: dict,
+                                 segmentation_previous_stage: np.ndarray = None,
+                                 output_file_truncated: str = None,
+                                 save_or_return_probabilities: bool = False):
+        """ref :429-464."""
+        from dinounet_tpu.inference.export import (
+            convert_predicted_logits_to_segmentation_with_correct_shape,
+        )
+
+        preprocessor = self.configuration_manager.preprocessor_class(verbose=self.verbose)
+        data, _ = preprocessor.run_case_npy(
+            input_image, None, image_properties, self.plans_manager,
+            self.configuration_manager, self.dataset_json,
+        )
+        logits = self.predict_logits_from_preprocessed_data(data)
+        if output_file_truncated is not None:
+            export_prediction_from_logits(
+                logits, image_properties, self.configuration_manager, self.plans_manager,
+                self.dataset_json, output_file_truncated, save_or_return_probabilities,
+            )
+            return None
+        ret = convert_predicted_logits_to_segmentation_with_correct_shape(
+            logits, self.plans_manager, self.configuration_manager, self.label_manager,
+            image_properties, return_probabilities=save_or_return_probabilities,
+        )
+        return ret
+
+    def predict_from_files(self, list_of_lists_or_source_folder,
+                           output_folder_or_list_of_truncated_output_files,
+                           save_probabilities: bool = False, overwrite: bool = True,
+                           num_processes_preprocessing: int = 3,
+                           num_processes_segmentation_export: int = 3,
+                           folder_with_segs_from_prev_stage: Optional[str] = None,
+                           num_parts: int = 1, part_id: int = 0):
+        """ref :207-346 (host pipeline simplified to sequential preprocessing +
+        device prediction; export is synchronous — the TPU does not wait on it
+        because the next case's preprocessing is host-side numpy)."""
+        if isinstance(output_folder_or_list_of_truncated_output_files, str):
+            os.makedirs(output_folder_or_list_of_truncated_output_files, exist_ok=True)
+            import shutil
+
+            # save init info next to the predictions (ref :246-255)
+            from dinounet_tpu.utilities.json_export import save_json
+
+            save_json(self.dataset_json, os.path.join(
+                output_folder_or_list_of_truncated_output_files, "dataset.json"))
+            save_json(self.plans_manager.plans, os.path.join(
+                output_folder_or_list_of_truncated_output_files, "plans.json"))
+
+        list_of_lists, output_files, seg_prev = self._manage_input_and_output_lists(
+            list_of_lists_or_source_folder, output_folder_or_list_of_truncated_output_files,
+            folder_with_segs_from_prev_stage, overwrite, part_id, num_parts,
+            save_probabilities,
+        )
+        if len(list_of_lists) == 0:
+            return []
+
+        preprocessor = self.configuration_manager.preprocessor_class(
+            verbose=self.verbose_preprocessing
+        )
+        ret = []
+        for files, out_trunc, prev in zip(list_of_lists, output_files, seg_prev):
+            data, seg, properties = preprocessor.run_case(
+                files, prev, self.plans_manager, self.configuration_manager,
+                self.dataset_json,
+            )
+            logits = self.predict_logits_from_preprocessed_data(data)
+            if out_trunc is not None:
+                export_prediction_from_logits(
+                    logits, properties, self.configuration_manager, self.plans_manager,
+                    self.dataset_json, out_trunc, save_probabilities,
+                )
+                ret.append(out_trunc)
+            else:
+                from dinounet_tpu.inference.export import (
+                    convert_predicted_logits_to_segmentation_with_correct_shape,
+                )
+
+                ret.append(
+                    convert_predicted_logits_to_segmentation_with_correct_shape(
+                        logits, self.plans_manager, self.configuration_manager,
+                        self.label_manager, properties,
+                        return_probabilities=save_probabilities,
+                    )
+                )
+        return ret

@@ -1,0 +1,220 @@
+"""Gaussian-weighted sliding-window tile prediction, batched on device.
+
+Capability parity with ref: dinounet/inference/sliding_window_prediction.py
+(:10-56 gaussian + steps) and predict_from_raw_data.py:503-621 (slicer grid,
+mirror-TTA, weighted accumulation). TPU-native redesign: the reference predicts
+tiles one by one in a Python loop (`:571-621`); here ALL tiles (including all
+z-slices for 2-D-net-on-3-D-volume) form one work list that is processed in
+jit-compiled batches, with the Gaussian multiply and scatter-add accumulation
+fused on device. This tile-batching is the primary source of the >=5x
+patches/sec/chip target (BASELINE.md).
+"""
+
+from functools import lru_cache, partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=2)
+def compute_gaussian(tile_size: Tuple[int, ...], sigma_scale: float = 1.0 / 8,
+                     value_scaling_factor: float = 10.0) -> np.ndarray:
+    """ref sliding_window_prediction.py:10-29: centered gaussian, sigma =
+    tile_size/8, scaled so max = value_scaling_factor, zero floor replaced by
+    the smallest positive value."""
+    center = [i // 2 for i in tile_size]
+    sigmas = [i * sigma_scale for i in tile_size]
+    grids = np.meshgrid(*[np.arange(s) for s in tile_size], indexing="ij")
+    g = np.ones(tile_size, dtype=np.float64)
+    for grid, c, s in zip(grids, center, sigmas):
+        g = g * np.exp(-((grid - c) ** 2) / (2 * s ** 2))
+    g = g / g.max() * value_scaling_factor
+    g = g.astype(np.float16).astype(np.float32)
+    g[g == 0] = np.min(g[g != 0])
+    return g
+
+
+def compute_steps_for_sliding_window(image_size: Sequence[int], tile_size: Sequence[int],
+                                     tile_step_size: float) -> List[List[int]]:
+    """ref sliding_window_prediction.py:32-56."""
+    assert all(i >= j for i, j in zip(image_size, tile_size))
+    assert 0 < tile_step_size <= 1
+    target_step_sizes = [i * tile_step_size for i in tile_size]
+    num_steps = [
+        int(np.ceil((i - k) / j)) + 1
+        for i, j, k in zip(image_size, target_step_sizes, tile_size)
+    ]
+    steps = []
+    for dim in range(len(tile_size)):
+        max_step_value = image_size[dim] - tile_size[dim]
+        if num_steps[dim] > 1:
+            actual_step_size = max_step_value / (num_steps[dim] - 1)
+        else:
+            actual_step_size = 99999999999
+        steps.append([int(np.round(actual_step_size * i)) for i in range(num_steps[dim])])
+    return steps
+
+
+def pad_nd_image(image: np.ndarray, new_shape: Sequence[int],
+                 mode: str = "constant") -> Tuple[np.ndarray, List[List[int]]]:
+    """Pad trailing spatial dims up to new_shape (centered); returns (padded,
+    slicer_to_revert). Equivalent of acvl pad_nd_image as used at ref :703."""
+    spatial_ndim = len(new_shape)
+    old_shape = image.shape[-spatial_ndim:]
+    pad_total = [max(0, n - o) for n, o in zip(new_shape, old_shape)]
+    pad_lo = [p // 2 for p in pad_total]
+    pad_hi = [p - lo for p, lo in zip(pad_total, pad_lo)]
+    pad_width = [(0, 0)] * (image.ndim - spatial_ndim) + list(zip(pad_lo, pad_hi))
+    padded = np.pad(image, pad_width, mode=mode)
+    revert = [[lo, lo + o] for lo, o in zip(pad_lo, old_shape)]
+    return padded, revert
+
+
+def _mirror_variants_2d(mirror_axes: Optional[Tuple[int, ...]]):
+    """All flip combinations over (H, W) axes of an NHWC batch."""
+    variants = [()]
+    if mirror_axes:
+        axes = tuple(a + 1 for a in mirror_axes)  # NHWC spatial axes 1, 2
+        import itertools
+
+        variants = [
+            c for i in range(len(axes) + 1) for c in itertools.combinations(axes, i)
+        ]
+    return variants
+
+
+def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
+                           num_classes: int, tile_batch: int = 8,
+                           mirror_axes: Optional[Tuple[int, ...]] = None):
+    """Builds a jitted function processing the full tile list of one padded
+    volume: scan over tile batches, mirror-TTA averaged forward, gaussian
+    weighting, scatter-add accumulation on device.
+
+    apply_fn: (x: (B, ph, pw, C_in)) -> (B, ph, pw, num_classes) logits.
+    Returns predict(volume (Z, Y, X, C_in), offsets (N, 3) int32) ->
+    (accumulated_logits (Z, Y, X, num_classes), weights (Z, Y, X, 1)).
+    """
+    ph, pw = patch_size
+    gaussian = jnp.asarray(compute_gaussian((ph, pw)))[None, :, :, None]
+    variants = _mirror_variants_2d(mirror_axes)
+
+    @jax.jit
+    def predict(volume, offsets):
+        Z, Y, X, C_in = volume.shape
+        n = offsets.shape[0]
+        n_pad = (-n) % tile_batch
+        # pad the offset list with repeats of the last tile; weight-masked out
+        offsets_p = jnp.concatenate(
+            [offsets, jnp.repeat(offsets[-1:], n_pad, axis=0)], axis=0
+        ) if n_pad else offsets
+        valid = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((n_pad,), jnp.float32)]
+        ) if n_pad else jnp.ones((n,), jnp.float32)
+        n_batches = offsets_p.shape[0] // tile_batch
+        offsets_b = offsets_p.reshape(n_batches, tile_batch, 3)
+        valid_b = valid.reshape(n_batches, tile_batch)
+
+        accum = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
+        weights = jnp.zeros((Z, Y, X, 1), jnp.float32)
+
+        def get_tile(off):
+            z, oy, ox = off[0], off[1], off[2]
+            return jax.lax.dynamic_slice(
+                volume, (z, oy, ox, 0), (1, ph, pw, C_in)
+            )[0]
+
+        def body(carry, inp):
+            accum, weights = carry
+            offs, val = inp
+            tiles = jax.vmap(get_tile)(offs)  # (tb, ph, pw, C_in)
+            logits = 0.0
+            for axes in variants:
+                t = tiles
+                for a in axes:
+                    t = jnp.flip(t, axis=a)
+                out = apply_fn(t)
+                for a in axes:
+                    out = jnp.flip(out, axis=a)
+                logits = logits + out.astype(jnp.float32)
+            logits = logits / len(variants)
+            weighted = logits * gaussian * val[:, None, None, None]
+            w_tile = jnp.broadcast_to(gaussian, (offs.shape[0], ph, pw, 1)) \
+                * val[:, None, None, None]
+
+            def scatter(carry, xs):
+                accum, weights = carry
+                off, wl, wt = xs
+                z, oy, ox = off[0], off[1], off[2]
+                cur = jax.lax.dynamic_slice(
+                    accum, (z, oy, ox, 0), (1, ph, pw, num_classes)
+                )
+                accum = jax.lax.dynamic_update_slice(
+                    accum, cur + wl[None], (z, oy, ox, 0)
+                )
+                curw = jax.lax.dynamic_slice(weights, (z, oy, ox, 0), (1, ph, pw, 1))
+                weights = jax.lax.dynamic_update_slice(
+                    weights, curw + wt[None], (z, oy, ox, 0)
+                )
+                return (accum, weights), None
+
+            (accum, weights), _ = jax.lax.scan(
+                scatter, (accum, weights), (offs, weighted, w_tile)
+            )
+            return (accum, weights), None
+
+        (accum, weights), _ = jax.lax.scan(body, (accum, weights), (offsets_b, valid_b))
+        return accum, weights
+
+    return predict
+
+
+def sliding_window_offsets_2d(volume_shape_zyx: Sequence[int],
+                              patch_size: Tuple[int, int],
+                              tile_step_size: float = 0.5) -> np.ndarray:
+    """All (z, oy, ox) tile origins for a 2-D network over a 3-D volume
+    (ref predict_from_raw_data.py:503-535: per-z-slice xy grid)."""
+    Z, Y, X = volume_shape_zyx
+    steps = compute_steps_for_sliding_window((Y, X), patch_size, tile_step_size)
+    offsets = [
+        (z, sy, sx) for z in range(Z) for sy in steps[0] for sx in steps[1]
+    ]
+    return np.array(offsets, dtype=np.int32)
+
+
+def predict_sliding_window_return_logits(
+    apply_fn: Callable, data: np.ndarray, patch_size: Tuple[int, int],
+    num_classes: int, tile_step_size: float = 0.5,
+    mirror_axes: Optional[Tuple[int, ...]] = None, tile_batch: int = 8,
+    use_gaussian: bool = True, verbose: bool = False,
+) -> np.ndarray:
+    """End-to-end sliding window for a 2-D network on (C, Z, Y, X) data.
+
+    Returns logits (num_classes, Z, Y, X) on host, matching the reference's
+    output contract (ref predict_from_raw_data.py:680-776).
+    """
+    assert data.ndim == 4, "data must be (C, Z, Y, X); 2-D inputs as (C, 1, Y, X)"
+    C, Z, Y, X = data.shape
+    padded, revert = pad_nd_image(data, (Z, max(Y, patch_size[0]), max(X, patch_size[1])))
+    _, Zp, Yp, Xp = padded.shape
+
+    offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
+    volume = jnp.asarray(np.moveaxis(padded, 0, -1))  # (Z, Y, X, C)
+
+    predictor = make_tile_predictor_2d(
+        apply_fn, patch_size, num_classes, tile_batch=tile_batch,
+        mirror_axes=mirror_axes,
+    )
+    accum, weights = predictor(volume, jnp.asarray(offsets))
+    logits = (accum / weights) if use_gaussian else accum
+    logits = np.asarray(logits)
+    if not np.all(np.isfinite(logits)):
+        raise RuntimeError(
+            "Encountered inf in predicted array. Aborting... If this problem persists, "
+            "reduce value_scaling_factor in compute_gaussian or increase the dtype of "
+            "the accumulation."
+        )
+    logits = np.moveaxis(logits, -1, 0)  # (num_classes, Z, Y, X)
+    sl = (slice(None),) + tuple(slice(lo, hi) for lo, hi in revert)
+    return logits[sl]

@@ -8,7 +8,10 @@ and median_relative_size_after_cropping.
 """
 
 import os
-from concurrent.futures import ProcessPoolExecutor
+# Threads, not processes: the heavy work is numpy/scipy (GIL-releasing), and
+# forking a JAX-threaded process deadlocks. The reference uses spawn pools for
+# the same reason (SURVEY.md aux: spawn-only multiprocessing).
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Type, Union
 
 import numpy as np
@@ -107,7 +110,7 @@ class DatasetFingerprintExtractor:
         if self.num_processes <= 1 or len(keys) <= 1:
             results = [self.analyze_case(*a) for a in args]
         else:
-            with ProcessPoolExecutor(max_workers=min(self.num_processes, len(keys))) as pool:
+            with ThreadPoolExecutor(max_workers=min(self.num_processes, len(keys))) as pool:
                 results = list(pool.map(_analyze_case_star, args))
 
         shapes_after_crop = [r[0] for r in results]

@@ -10,7 +10,10 @@ Output format is byte-compatible: <case>.npz {data, seg} + <case>.pkl.
 import os
 import pickle
 import shutil
-from concurrent.futures import ProcessPoolExecutor
+# Threads, not processes: the heavy work is numpy/scipy (GIL-releasing), and
+# forking a JAX-threaded process deadlocks. The reference uses spawn pools for
+# the same reason (SURVEY.md aux: spawn-only multiprocessing).
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Tuple, Union
 
 import numpy as np
@@ -186,7 +189,7 @@ class DefaultPreprocessor:
             for j in jobs:
                 self.run_case_save(*j)
         else:
-            with ProcessPoolExecutor(max_workers=min(num_processes, len(jobs))) as pool:
+            with ThreadPoolExecutor(max_workers=min(num_processes, len(jobs))) as pool:
                 list(pool.map(_run_case_save_star, [(self,) + j for j in jobs]))
 
     def modify_seg_fn(self, seg: np.ndarray, plans_manager, dataset_json,

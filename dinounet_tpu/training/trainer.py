@@ -1,0 +1,629 @@
+"""nnUNetTrainer: the training loop.
+
+Capability parity with ref: dinounet/training/nnUNetTrainer/nnUNetTrainer.py
+(1318 LoC god-object), re-designed for TPU:
+  * hyperparameters, folder layout results/<ds>/<Trainer>__<plans>__<config>/
+    fold_N, 5-fold split seeded 12345, 250 train / 50 val iterations per epoch,
+    SGD-nesterov(0.99) + weight decay 3e-5 + PolyLR + grad-clip 12, DC+CE loss,
+    foreground oversampling 0.33, EMA(0.9) pseudo-Dice model selection,
+    checkpoint_{latest,best,final} — all as in the reference
+    (ref :146-153,355-389,485-490,530-585,899-1052,1057-1106,1295-1318).
+  * TPU-native replacements: DDP/NCCL -> a jax.sharding.Mesh with the batch
+    sharded over the 'data' axis under jit (gradient psum and SyncBN come from
+    GSPMD, ref :216-218,934-937 obsolete); the batchgenerators CPU augmentation
+    worker pool -> jit-compiled on-device augmentation fused into train_step;
+    autocast+GradScaler -> bf16 compute with fp32 params/optimizer (no loss
+    scaling needed for bf16).
+"""
+
+import inspect
+import math
+import os
+import time
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dinounet_tpu import paths
+from dinounet_tpu.configuration import ANISO_THRESHOLD, default_num_processes
+from dinounet_tpu.models.plain_unet import PlainConvUNet, PlainUNetConfig
+from dinounet_tpu.training.augmentation import (
+    AugmentConfig,
+    augment_batch_2d,
+    get_enlarged_patch_size,
+)
+from dinounet_tpu.training.checkpointing import load_checkpoint, save_checkpoint
+from dinounet_tpu.training.dataloading import (
+    nnUNetDataLoader2D,
+    nnUNetDataLoader3D,
+    nnUNetDataset,
+    unpack_dataset,
+)
+from dinounet_tpu.training.logger import nnUNetLogger
+from dinounet_tpu.training.losses import dc_and_ce_loss, dc_and_bce_loss, get_tp_fp_fn_tn
+from dinounet_tpu.training.lr_scheduler import poly_lr
+from dinounet_tpu.utilities import registry
+from dinounet_tpu.utilities.json_export import load_json, save_json
+from dinounet_tpu.utilities.label_handling import determine_num_input_channels
+from dinounet_tpu.utilities.misc import generate_crossval_split
+from dinounet_tpu.utilities.plans_handler import PlansManager
+
+
+@registry.trainers.register("nnUNetTrainer")
+class nnUNetTrainer:
+    def __init__(self, plans: dict, configuration: str, fold: int, dataset_json: dict,
+                 unpack_dataset: bool = True, device=None):
+        self.is_ddp = False  # GSPMD replaces process-group DDP
+        self.device = device
+
+        # substitute for the reference's init_args capture (ref :106-123)
+        self.my_init_kwargs = {
+            "plans": plans, "configuration": configuration, "fold": fold,
+            "dataset_json": dataset_json, "unpack_dataset": unpack_dataset,
+        }
+
+        self.plans_manager = PlansManager(plans)
+        self.configuration_manager = self.plans_manager.get_configuration(configuration)
+        self.configuration_name = configuration
+        self.dataset_json = dataset_json
+        self.fold = fold
+        self.unpack_dataset = unpack_dataset
+
+        self.preprocessed_dataset_folder_base = os.path.join(
+            paths.nnUNet_preprocessed(), self.plans_manager.dataset_name
+        )
+        self.output_folder_base = os.path.join(
+            paths.nnUNet_results(), self.plans_manager.dataset_name,
+            self.__class__.__name__ + "__" + self.plans_manager.plans_name + "__"
+            + configuration,
+        )
+        self.output_folder = os.path.join(self.output_folder_base, f"fold_{fold}")
+        self.preprocessed_dataset_folder = os.path.join(
+            self.preprocessed_dataset_folder_base,
+            self.configuration_manager.data_identifier,
+        )
+
+        # hyperparameters (ref :146-153)
+        self.initial_lr = 1e-2
+        self.weight_decay = 3e-5
+        self.oversample_foreground_percent = 0.33
+        self.num_iterations_per_epoch = 250
+        self.num_val_iterations_per_epoch = 50
+        self.num_epochs = 1000
+        self.current_epoch = 0
+        self.enable_deep_supervision = True
+
+        self.label_manager = self.plans_manager.get_label_manager(dataset_json)
+
+        self.num_input_channels = None
+        self.network = None  # flax module
+        self.variables = None  # {'params': ..., 'batch_stats': ...}
+        self.opt_state = None
+        self.tx = None
+        self._train_step = None
+        self._val_step = None
+        self._rng = jax.random.key(np.random.SeedSequence().entropy % (2 ** 63))
+
+        self.dataloader_train = None
+        self.dataloader_val = None
+        self.logger = nnUNetLogger()
+        self._best_ema = None
+        self.inference_allowed_mirroring_axes = None
+
+        self._ema_loss = None
+        self.grad_scale = None
+        self.was_initialized = False
+
+        self.mesh = self._make_mesh()
+
+        os.makedirs(self.output_folder, exist_ok=True)
+        self.log_file = os.path.join(self.output_folder, f"training_log_{int(time.time())}.txt")
+
+    # ------------------------------------------------------------------ setup
+
+    @staticmethod
+    def _make_mesh() -> Mesh:
+        devices = np.array(jax.devices())
+        return Mesh(devices, ("data",))
+
+    def print_to_log_file(self, *args, also_print_to_console: bool = True):
+        msg = " ".join(str(a) for a in args)
+        timestamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(self.log_file, "a") as f:
+            f.write(f"{timestamp}: {msg}\n")
+        if also_print_to_console:
+            print(msg, flush=True)
+
+    @staticmethod
+    def build_network_architecture(architecture_class_name: str, arch_init_kwargs: dict,
+                                   arch_init_kwargs_req_import, num_input_channels: int,
+                                   num_output_channels: int,
+                                   enable_deep_supervision: bool = True):
+        """Default path: PlainConvUNet from plans (ref get_network_from_plans.py:9).
+        Returns a flax module."""
+        arch = dict(arch_init_kwargs)
+        arch["deep_supervision"] = enable_deep_supervision
+        cfg = PlainUNetConfig.from_plans_arch(arch, num_output_channels)
+        return PlainConvUNet(cfg)
+
+    def initialize(self):
+        if self.was_initialized:
+            raise RuntimeError("initialize called twice")
+        self.num_input_channels = determine_num_input_channels(
+            self.plans_manager, self.configuration_manager, self.dataset_json
+        )
+        self.network = self.build_network_architecture(
+            self.configuration_manager.network_arch_class_name,
+            self.configuration_manager.network_arch_init_kwargs,
+            self.configuration_manager.network_arch_init_kwargs_req_import,
+            self.num_input_channels,
+            self.label_manager.num_segmentation_heads,
+            self.enable_deep_supervision,
+        )
+        self._init_params_and_optimizer()
+        self.was_initialized = True
+
+    def _example_input(self, batch: int = 1) -> jnp.ndarray:
+        patch = tuple(self.configuration_manager.patch_size)
+        return jnp.zeros((batch, *patch, self.num_input_channels), jnp.float32)
+
+    def _trainable_label_tree(self, params):
+        from dinounet_tpu.models.dinounet import backbone_param_filter
+
+        def label(path):
+            keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+            return "frozen" if backbone_param_filter(keys) else "trainable"
+
+        return jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
+
+    def configure_optimizers(self):
+        """SGD nesterov momentum 0.99, wd 3e-5, grad clip 12, PolyLR(0.9)
+        (ref :485-490, :919-924)."""
+        lr_schedule = lambda step: poly_lr(
+            self.initial_lr, step // self.num_iterations_per_epoch, self.num_epochs
+        )
+        sgd = optax.chain(
+            optax.clip_by_global_norm(12.0),
+            optax.add_decayed_weights(self.weight_decay),
+            optax.trace(decay=0.99, nesterov=True),
+            optax.scale_by_learning_rate(lr_schedule),
+        )
+        labels = self._trainable_label_tree(self.variables["params"])
+        return optax.multi_transform(
+            {"trainable": sgd, "frozen": optax.set_to_zero()}, labels
+        )
+
+    def _init_params_and_optimizer(self):
+        rng, self._rng = jax.random.split(self._rng)
+        x = self._example_input()
+        with self.mesh:
+            variables = jax.jit(
+                lambda k: self.network.init({"params": k}, x, train=False)
+            )(rng)
+        self.variables = dict(variables)
+        if "batch_stats" not in self.variables:
+            self.variables["batch_stats"] = {}
+        self.tx = self.configure_optimizers()
+        self.opt_state = self.tx.init(self.variables["params"])
+        n_params = sum(p.size for p in jax.tree.leaves(self.variables["params"]))
+        self.print_to_log_file(f"Network initialized: {n_params / 1e6:.2f}M parameters")
+
+    # -------------------------------------------------------------- splitting
+
+    def do_split(self) -> Tuple[List[str], List[str]]:
+        """5-fold CV split seeded 12345, persisted to splits_final.json
+        (ref :530-585)."""
+        dataset = nnUNetDataset(self.preprocessed_dataset_folder)
+        splits_file = os.path.join(self.preprocessed_dataset_folder_base, "splits_final.json")
+        if self.fold == "all":
+            keys = sorted(dataset.keys())
+            return keys, keys
+        if not os.path.isfile(splits_file):
+            splits = generate_crossval_split(sorted(dataset.keys()), seed=12345, n_splits=5)
+            save_json(splits, splits_file)
+        else:
+            splits = load_json(splits_file)
+        if self.fold < len(splits):
+            tr_keys = splits[self.fold]["train"]
+            val_keys = splits[self.fold]["val"]
+        else:
+            # fold outside the split file: random 80/20 (ref :570-580)
+            rnd = np.random.RandomState(seed=12345 + self.fold)
+            keys = np.sort(list(dataset.keys()))
+            idx_tr = rnd.choice(len(keys), int(len(keys) * 0.8), replace=False)
+            idx_val = [i for i in range(len(keys)) if i not in idx_tr]
+            tr_keys = [keys[i] for i in idx_tr]
+            val_keys = [keys[i] for i in idx_val]
+        return tr_keys, val_keys
+
+    # ------------------------------------------------------------ dataloaders
+
+    def _configure_rotation_dummyDA_mirroring_and_initial_patch_size(self):
+        """ref :391-446."""
+        patch_size = self.configuration_manager.patch_size
+        dim = len(patch_size)
+        if dim == 2:
+            do_dummy_2d = False
+            if max(patch_size) / min(patch_size) > 1.5:
+                rotation = (-15.0 / 360 * 2 * np.pi, 15.0 / 360 * 2 * np.pi)
+            else:
+                rotation = (-np.pi, np.pi)
+            mirror_axes = (0, 1)
+            initial_patch_size = get_enlarged_patch_size(
+                patch_size, max(abs(rotation[0]), abs(rotation[1])), (0.85, 1.25)
+            )
+        else:
+            do_dummy_2d = (max(patch_size) / patch_size[0]) > ANISO_THRESHOLD
+            rotation = (
+                (-np.pi, np.pi) if do_dummy_2d
+                else (-30.0 / 360 * 2 * np.pi, 30.0 / 360 * 2 * np.pi)
+            )
+            mirror_axes = (0, 1, 2)
+            initial_patch_size = np.array(patch_size)  # 3-D spatial aug TBD: loader-size aug
+        self.inference_allowed_mirroring_axes = mirror_axes
+        return rotation, do_dummy_2d, initial_patch_size, mirror_axes
+
+    def get_dataloaders(self):
+        dim = len(self.configuration_manager.patch_size)
+        rotation, do_dummy_2d, initial_patch_size, mirror_axes = \
+            self._configure_rotation_dummyDA_mirroring_and_initial_patch_size()
+
+        tr_keys, val_keys = self.do_split()
+        dataset_tr = nnUNetDataset(self.preprocessed_dataset_folder, tr_keys)
+        dataset_val = nnUNetDataset(self.preprocessed_dataset_folder, val_keys)
+
+        loader_cls = nnUNetDataLoader2D if dim == 2 else nnUNetDataLoader3D
+        self.dataloader_train = loader_cls(
+            dataset_tr, self.configuration_manager.batch_size,
+            initial_patch_size, self.configuration_manager.patch_size,
+            self.label_manager, self.oversample_foreground_percent,
+        )
+        self.dataloader_val = loader_cls(
+            dataset_val, self.configuration_manager.batch_size,
+            self.configuration_manager.patch_size, self.configuration_manager.patch_size,
+            self.label_manager, self.oversample_foreground_percent,
+        )
+
+        self.augment_cfg = AugmentConfig(
+            patch_size=tuple(self.configuration_manager.patch_size)[-2:],
+            rotation_range=rotation,
+            mirror_axes=mirror_axes,
+            use_mask_for_norm=tuple(self.configuration_manager.use_mask_for_norm),
+        )
+
+    # ------------------------------------------------------------- loss/steps
+
+    def _loss_fn(self, logits, target):
+        if self.label_manager.has_regions:
+            return dc_and_bce_loss(
+                logits, target, batch_dice=self.configuration_manager.batch_dice,
+                use_ignore_label=self.label_manager.has_ignore_label,
+            )
+        return dc_and_ce_loss(
+            logits, target, batch_dice=self.configuration_manager.batch_dice,
+            smooth=1e-5, do_bg=False, ignore_label=self.label_manager.ignore_label,
+        )
+
+    def _build_steps(self):
+        model = self.network
+        tx = self.tx
+        augment_cfg = self.augment_cfg
+        dim = len(self.configuration_manager.patch_size)
+        loss_fn_outer = self._loss_fn
+        num_classes = self.label_manager.num_segmentation_heads
+        has_ignore = self.label_manager.has_ignore_label
+        ignore_label = self.label_manager.ignore_label
+
+        def train_step(params, batch_stats, opt_state, data, seg, rng):
+            if dim == 2:
+                aug_rng, drop_rng = jax.random.split(rng)
+                data_a, seg_a = augment_batch_2d(aug_rng, data, seg, augment_cfg)
+            else:
+                drop_rng = rng
+                data_a, seg_a = data, jnp.where(seg < 0, 0, seg)
+
+            def loss_of(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, data_a, train=True,
+                    rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+                )
+                if isinstance(out, (list, tuple)):
+                    from dinounet_tpu.training.losses import (
+                        deep_supervision_loss,
+                        deep_supervision_weights,
+                    )
+                    from dinounet_tpu.training.augmentation import downsample_seg_for_ds
+
+                    weights = deep_supervision_weights(len(out))
+                    scales = [
+                        tuple(o.shape[1 + i] / out[0].shape[1 + i] for i in range(dim))
+                        for o in out
+                    ]
+                    targets = downsample_seg_for_ds(seg_a, scales)
+                    loss = deep_supervision_loss(loss_fn_outer, out, targets, weights)
+                else:
+                    loss = loss_fn_outer(out, seg_a)
+                return loss, mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt, loss
+
+        def val_step(params, batch_stats, data, seg):
+            seg = jnp.where(seg < 0, 0, seg)
+            out = model.apply({"params": params, "batch_stats": batch_stats}, data,
+                              train=False)
+            if isinstance(out, (list, tuple)):
+                out = out[0]
+            loss = loss_fn_outer(out, seg)
+            # hard pseudo-Dice counts (ref :946-1008)
+            if has_ignore:
+                mask = (seg != ignore_label)[..., None].astype(jnp.float32)
+                seg_eval = jnp.where(seg == ignore_label, 0, seg)
+            else:
+                mask = None
+                seg_eval = seg
+            pred_onehot = jax.nn.one_hot(out.argmax(-1), num_classes)
+            axes = (0,) + tuple(range(1, out.ndim - 1))
+            tp = (pred_onehot * jax.nn.one_hot(seg_eval, num_classes)
+                  * (mask if mask is not None else 1.0)).sum(axes)
+            fp = (pred_onehot * (1 - jax.nn.one_hot(seg_eval, num_classes))
+                  * (mask if mask is not None else 1.0)).sum(axes)
+            fn = ((1 - pred_onehot) * jax.nn.one_hot(seg_eval, num_classes)
+                  * (mask if mask is not None else 1.0)).sum(axes)
+            return loss, tp, fp, fn
+
+        data_sh = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(repl, repl, repl, data_sh, data_sh, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+        self._val_step = jax.jit(
+            val_step, in_shardings=(repl, repl, data_sh, data_sh),
+            out_shardings=repl,
+        )
+
+    # ------------------------------------------------------------ train loop
+
+    def on_train_start(self):
+        if not self.was_initialized:
+            self.initialize()
+        if self.unpack_dataset:
+            self.print_to_log_file("unpacking dataset...")
+            unpack_dataset(self.preprocessed_dataset_folder,
+                           num_processes=default_num_processes)
+        self.get_dataloaders()
+        self._build_steps()
+        # save debug information + copies of plans/dataset json (ref :834-853)
+        save_json(self.plans_manager.plans,
+                  os.path.join(self.output_folder_base, "plans.json"), sort_keys=False)
+        save_json(self.dataset_json, os.path.join(self.output_folder_base, "dataset.json"))
+        self._save_debug_information()
+
+    def _save_debug_information(self):
+        dct = {
+            k: str(v) for k, v in self.__dict__.items()
+            if not k.startswith("_") and isinstance(v, (str, int, float, bool))
+        }
+        dct["device_count"] = jax.device_count()
+        dct["backend"] = jax.default_backend()
+        save_json(dct, os.path.join(self.output_folder, "debug.json"))
+
+    def _batch_to_device(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # loader: (B, C, *spatial) -> NHWC; seg (B, 1, *spatial) -> (B, *spatial)
+        data = np.moveaxis(batch["data"], 1, -1)
+        seg = batch["seg"][:, 0].astype(np.int32)
+        if data.ndim == 5 and data.shape[1] == 1:
+            # 2d case stored with a leading singleton z — loader already slices
+            pass
+        return jnp.asarray(data), jnp.asarray(seg)
+
+    def train_step_host(self, batch) -> float:
+        rng, self._rng = jax.random.split(self._rng)
+        data, seg = self._batch_to_device(batch)
+        params, bs, opt, loss = self._train_step(
+            self.variables["params"], self.variables["batch_stats"], self.opt_state,
+            data, seg, rng,
+        )
+        self.variables = {"params": params, "batch_stats": bs}
+        self.opt_state = opt
+        return loss
+
+    def validation_step_host(self, batch):
+        data, seg = self._batch_to_device(batch)
+        return self._val_step(
+            self.variables["params"], self.variables["batch_stats"], data, seg
+        )
+
+    def current_lr(self) -> float:
+        return poly_lr(self.initial_lr, self.current_epoch, self.num_epochs)
+
+    def run_training(self):
+        self.on_train_start()
+        for epoch in range(self.current_epoch, self.num_epochs):
+            self.logger.log("epoch_start_timestamps", time.time(), epoch)
+            self.print_to_log_file(f"\nEpoch {epoch}")
+            self.print_to_log_file(f"Current learning rate: {round(self.current_lr(), 5)}")
+
+            train_losses = []
+            for _ in range(self.num_iterations_per_epoch):
+                batch = self.dataloader_train.generate_train_batch()
+                train_losses.append(self.train_step_host(batch))
+            train_loss = float(np.mean([jax.device_get(l) for l in train_losses]))
+            self.logger.log("train_losses", train_loss, epoch)
+
+            val_losses, tps, fps, fns = [], [], [], []
+            for _ in range(self.num_val_iterations_per_epoch):
+                batch = self.dataloader_val.generate_train_batch()
+                loss, tp, fp, fn = self.validation_step_host(batch)
+                val_losses.append(loss)
+                tps.append(tp)
+                fps.append(fp)
+                fns.append(fn)
+            val_loss = float(np.mean([jax.device_get(l) for l in val_losses]))
+            tp = np.sum(jax.device_get(tps), 0)
+            fp = np.sum(jax.device_get(fps), 0)
+            fn = np.sum(jax.device_get(fns), 0)
+            self.on_validation_epoch_end(val_loss, tp, fp, fn, epoch)
+
+            self.logger.log("epoch_end_timestamps", time.time(), epoch)
+            self.logger.log("lrs", self.current_lr(), epoch)
+            self.on_epoch_end(epoch)
+            self.current_epoch = epoch + 1
+        self.on_train_end()
+
+    def on_validation_epoch_end(self, val_loss, tp, fp, fn, epoch):
+        """Global per-class Dice from summed counts (ref :1010-1052)."""
+        self.logger.log("val_losses", val_loss, epoch)
+        global_dc_per_class = [
+            2 * i / (2 * i + j + k) if (2 * i + j + k) > 0 else np.nan
+            for i, j, k in zip(tp[1:], fp[1:], fn[1:])
+        ] if not self.label_manager.has_regions else [
+            2 * i / (2 * i + j + k) if (2 * i + j + k) > 0 else np.nan
+            for i, j, k in zip(tp, fp, fn)
+        ]
+        mean_fg_dice = float(np.nanmean(global_dc_per_class))
+        self.logger.log("mean_fg_dice", mean_fg_dice, epoch)
+        self.logger.log("dice_per_class_or_region",
+                        [float(x) for x in global_dc_per_class], epoch)
+        self.print_to_log_file(f"train_loss {round(self.logger.my_fantastic_logging['train_losses'][epoch], 4)}")
+        self.print_to_log_file(f"val_loss {round(val_loss, 4)}")
+        self.print_to_log_file(
+            f"Pseudo dice {[round(float(x), 4) for x in global_dc_per_class]}"
+        )
+
+    def on_epoch_end(self, epoch):
+        """Checkpoint every 50 epochs + best-EMA (ref :1057-1081)."""
+        if (epoch + 1) % 50 == 0 or epoch == self.num_epochs - 1:
+            self.save_checkpoint(os.path.join(self.output_folder, "checkpoint_latest.pth"))
+        ema = self.logger.my_fantastic_logging["ema_fg_dice"][epoch]
+        if self._best_ema is None or ema > self._best_ema:
+            self._best_ema = ema
+            self.print_to_log_file(
+                f"Yayy! New best EMA pseudo Dice: {round(float(ema), 4)}"
+            )
+            self.save_checkpoint(os.path.join(self.output_folder, "checkpoint_best.pth"))
+        self.logger.plot_progress_png(self.output_folder)
+
+    def on_train_end(self):
+        self.current_epoch -= 1
+        self.save_checkpoint(os.path.join(self.output_folder, "checkpoint_final.pth"))
+        self.current_epoch += 1
+        latest = os.path.join(self.output_folder, "checkpoint_latest.pth")
+        if os.path.isfile(latest):
+            os.remove(latest)
+        self.print_to_log_file("Training done.")
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save_checkpoint(self, filename: str):
+        """ref :1083-1106 (same key set)."""
+        init_args = dict(self.my_init_kwargs)
+        checkpoint = {
+            "network_weights": self.variables,
+            "optimizer_state": self.opt_state,
+            "grad_scaler_state": None,
+            "logging": self.logger.get_checkpoint(),
+            "_best_ema": self._best_ema,
+            "current_epoch": self.current_epoch + 1,
+            "init_args": {"configuration": self.configuration_name,
+                          "fold": self.fold},
+            "trainer_name": self.__class__.__name__,
+            "inference_allowed_mirroring_axes": self.inference_allowed_mirroring_axes,
+        }
+        save_checkpoint(checkpoint, filename)
+
+    def load_checkpoint(self, filename_or_checkpoint: Union[str, dict]):
+        """ref :1108-1144."""
+        if not self.was_initialized:
+            self.initialize()
+        checkpoint = (
+            load_checkpoint(filename_or_checkpoint)
+            if isinstance(filename_or_checkpoint, str) else filename_or_checkpoint
+        )
+        self.variables = jax.tree.map(jnp.asarray, checkpoint["network_weights"])
+        if checkpoint.get("optimizer_state") is not None:
+            template = self.tx.init(self.variables["params"])
+            self.opt_state = jax.tree.map(
+                lambda t, s: jnp.asarray(s).astype(t.dtype) if hasattr(t, "dtype") else s,
+                template, checkpoint["optimizer_state"],
+            )
+        self.logger.load_checkpoint(checkpoint["logging"])
+        self._best_ema = checkpoint["_best_ema"]
+        self.current_epoch = checkpoint["current_epoch"]
+        self.inference_allowed_mirroring_axes = checkpoint.get(
+            "inference_allowed_mirroring_axes"
+        )
+
+    # --------------------------------------------------- final validation
+
+    def set_deep_supervision_enabled(self, enabled: bool):
+        self.enable_deep_supervision = enabled
+
+    def perform_actual_validation(self, save_probabilities: bool = False):
+        """Full sliding-window inference over the validation split + metrics
+        (ref :1146-1293)."""
+        from dinounet_tpu.evaluation.metrics import compute_metrics_on_folder
+        from dinounet_tpu.inference.export import export_prediction_from_logits
+        from dinounet_tpu.inference.predictor import nnUNetPredictor
+
+        predictor = nnUNetPredictor(
+            tile_step_size=0.5, use_gaussian=True, use_mirroring=True,
+            verbose=False, allow_tqdm=False,
+        )
+        # rebuild the network with deep supervision off for inference
+        inference_network = self.build_network_architecture(
+            self.configuration_manager.network_arch_class_name,
+            self.configuration_manager.network_arch_init_kwargs,
+            self.configuration_manager.network_arch_init_kwargs_req_import,
+            self.num_input_channels,
+            self.label_manager.num_segmentation_heads,
+            enable_deep_supervision=False,
+        )
+        predictor.manual_initialization(
+            inference_network, self.plans_manager, self.configuration_manager,
+            [self.variables], self.dataset_json, self.__class__.__name__,
+            self.inference_allowed_mirroring_axes,
+        )
+
+        validation_output_folder = os.path.join(self.output_folder, "validation")
+        os.makedirs(validation_output_folder, exist_ok=True)
+        _, val_keys = self.do_split()
+        dataset_val = nnUNetDataset(self.preprocessed_dataset_folder, val_keys)
+
+        for k in val_keys:
+            self.print_to_log_file(f"predicting {k}")
+            data, seg, properties = dataset_val.load_case(k)
+            output_filename_truncated = os.path.join(validation_output_folder, k)
+            prediction = predictor.predict_logits_from_preprocessed_data(
+                np.asarray(data)
+            )
+            export_prediction_from_logits(
+                prediction, properties, self.configuration_manager, self.plans_manager,
+                self.dataset_json, output_filename_truncated, save_probabilities,
+            )
+
+        gt_folder = os.path.join(self.preprocessed_dataset_folder_base, "gt_segmentations")
+        if os.path.isdir(gt_folder):
+            metrics = compute_metrics_on_folder(
+                gt_folder, validation_output_folder,
+                os.path.join(validation_output_folder, "summary.json"),
+                self.plans_manager.image_reader_writer_class(),
+                self.dataset_json["file_ending"],
+                self.label_manager.foreground_regions if self.label_manager.has_regions
+                else self.label_manager.foreground_labels,
+                self.label_manager.ignore_label,
+            )
+            self.print_to_log_file(
+                "Mean Validation Dice:", metrics["foreground_mean"]["Dice"]
+            )
+            return metrics
+        return None

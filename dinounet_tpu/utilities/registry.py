@@ -11,6 +11,25 @@ the mapping is auditable and jit-safe.
 from typing import Any, Callable, Dict
 
 
+_REGISTRATION_MODULES = (
+    "dinounet_tpu.preprocessing.preprocessor",
+    "dinounet_tpu.preprocessing.resampling",
+    "dinounet_tpu.imageio.reader_writer_registry",
+    "dinounet_tpu.planning.planner",
+    "dinounet_tpu.training.trainer",
+    "dinounet_tpu.training.trainer_variants",
+    "dinounet_tpu.training.dinounet_trainer",
+)
+
+
+def _ensure_registered() -> None:
+    """Import every module that registers built-ins (idempotent)."""
+    import importlib
+
+    for mod in _REGISTRATION_MODULES:
+        importlib.import_module(mod)
+
+
 class Registry:
     def __init__(self, kind: str):
         self.kind = kind
@@ -28,6 +47,8 @@ class Registry:
         self._items[name] = obj
 
     def get(self, name: str) -> Any:
+        if name not in self._items:
+            _ensure_registered()
         if name not in self._items:
             raise KeyError(
                 f"Unknown {self.kind} '{name}'. Registered: {sorted(self._items)}"
