@@ -13,10 +13,13 @@ default_num_processes = int(os.environ.get("nnUNet_def_n_proc", 8))
 # separate-z path (per-slice 2D resampling + independent z interpolation).
 ANISO_THRESHOLD = 3
 
-def use_pallas_msda() -> bool:
+def use_pallas_msda(train: bool = False) -> bool:
     """Pallas MSDA on TPU backends, pure-JAX gather elsewhere (CPU tests).
 
     Controlled by env DINOUNET_TPU_MSDA_IMPL in {"auto", "pallas", "jax"}.
+    "auto" uses the Pallas kernels (forward + col2im backward) on TPU for both
+    inference and training; "jax" forces the gather core (needed on CPU where
+    the TPU kernels can't lower); "pallas" forces the kernels everywhere.
     """
     impl = os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto")
     if impl == "pallas":
@@ -26,3 +29,31 @@ def use_pallas_msda() -> bool:
     import jax
 
     return jax.default_backend() not in ("cpu",)
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Turn on JAX's on-disk executable cache (idempotent).
+
+    The DinoUNet train step takes minutes to compile (pallas MSDA kernels
+    inside a large differentiated graph); caching compiled executables across
+    processes turns every non-first run's compile into a disk read. Opt out
+    with DINOUNET_TPU_COMPILE_CACHE=0.
+    """
+    global _cache_enabled
+    if globals().get("_cache_enabled"):
+        return
+    cache_dir = os.environ.get(
+        "DINOUNET_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/dinounet_tpu_jax"))
+    if cache_dir in ("0", ""):
+        return
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        globals()["_cache_enabled"] = True
+    except Exception:
+        pass

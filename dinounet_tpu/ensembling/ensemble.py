@@ -108,3 +108,22 @@ def ensemble_crossvalidations(list_of_trained_model_folders: List[str],
             continue
         merge_files(files, os.path.join(output_folder, fn[:-4]),
                     dataset_json["file_ending"], rw, label_manager, False)
+
+
+def entry_point_ensemble_folders():
+    """CLI (ref ensemble.py:210-244, nnUNetv2_ensemble)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-i", nargs="+", type=str, required=True,
+                        help="input folders with .npz probability files")
+    parser.add_argument("-o", type=str, required=True, help="output folder")
+    parser.add_argument("-np", type=int, default=default_num_processes)
+    parser.add_argument("--save_npz", action="store_true")
+    args = parser.parse_args()
+    ensemble_folders(args.i, args.o, save_merged_probabilities=args.save_npz,
+                     num_processes=args.np)
+
+
+if __name__ == "__main__":
+    entry_point_ensemble_folders()

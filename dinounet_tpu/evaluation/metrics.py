@@ -236,3 +236,28 @@ def compute_metrics_on_folder2(folder_ref: str, folder_pred: str, dataset_json_f
         plans_manager.image_reader_writer_class(), dataset_json["file_ending"],
         lbl_or_regions, label_manager.ignore_label, num_processes, chill=chill,
     )
+
+
+def evaluate_folder_entry_point():
+    """Evaluation CLI (ref evaluate_predictions.py:333-365,
+    nnUNetv2_evaluate_folder)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("gt_folder", type=str)
+    parser.add_argument("pred_folder", type=str)
+    parser.add_argument("-djfile", type=str, required=True, help="dataset.json")
+    parser.add_argument("-pfile", type=str, required=True, help="plans.json")
+    parser.add_argument("-o", type=str, default=None, help="output summary.json")
+    parser.add_argument("-np", type=int, default=8)
+    parser.add_argument("--chill", action="store_true",
+                        help="don't fail on missing predictions")
+    args = parser.parse_args()
+    compute_metrics_on_folder2(
+        args.gt_folder, args.pred_folder, args.djfile, args.pfile,
+        output_file=args.o, num_processes=args.np, chill=args.chill,
+    )
+
+
+if __name__ == "__main__":
+    evaluate_folder_entry_point()

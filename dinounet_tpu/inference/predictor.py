@@ -300,3 +300,58 @@ class nnUNetPredictor:
                     )
                 )
         return ret
+
+
+def predict_entry_point():
+    """Prediction CLI (ref predict_from_raw_data.py:779-870, nnUNetv2_predict)."""
+    import argparse
+
+    from dinounet_tpu.utilities.misc import (
+        convert_identifier_to_trained_model_output_folder,
+        maybe_convert_to_dataset_name,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-i", type=str, required=True, help="input folder")
+    parser.add_argument("-o", type=str, required=True, help="output folder")
+    parser.add_argument("-d", type=str, required=True, help="dataset name or id")
+    parser.add_argument("-p", type=str, default="nnUNetPlans")
+    parser.add_argument("-tr", type=str, default="nnUNetTrainer")
+    parser.add_argument("-c", type=str, required=True, help="configuration")
+    parser.add_argument("-f", nargs="+", type=str, default=(0, 1, 2, 3, 4))
+    parser.add_argument("-step_size", type=float, default=0.5)
+    parser.add_argument("--disable_tta", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--save_probabilities", action="store_true")
+    parser.add_argument("--continue_prediction", action="store_true")
+    parser.add_argument("-chk", type=str, default="checkpoint_final.pth")
+    parser.add_argument("-npp", type=int, default=3)
+    parser.add_argument("-nps", type=int, default=3)
+    parser.add_argument("-prev_stage_predictions", type=str, default=None)
+    parser.add_argument("-num_parts", type=int, default=1)
+    parser.add_argument("-part_id", type=int, default=0)
+    parser.add_argument("-device", type=str, default=None,
+                        help="compat flag; JAX owns device selection")
+    args = parser.parse_args()
+    folds = [f if f == "all" else int(f) for f in args.f]
+
+    model_folder = convert_identifier_to_trained_model_output_folder(
+        maybe_convert_to_dataset_name(args.d), args.tr, args.p, args.c)
+
+    predictor = nnUNetPredictor(
+        tile_step_size=args.step_size, use_gaussian=True,
+        use_mirroring=not args.disable_tta, verbose=args.verbose,
+    )
+    predictor.initialize_from_trained_model_folder(model_folder, folds, args.chk)
+    predictor.predict_from_files(
+        args.i, args.o, save_probabilities=args.save_probabilities,
+        overwrite=not args.continue_prediction,
+        num_processes_preprocessing=args.npp,
+        num_processes_segmentation_export=args.nps,
+        folder_with_segs_from_prev_stage=args.prev_stage_predictions,
+        num_parts=args.num_parts, part_id=args.part_id,
+    )
+
+
+if __name__ == "__main__":
+    predict_entry_point()

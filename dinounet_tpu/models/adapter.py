@@ -75,7 +75,8 @@ class MSDeformAttn(nn.Module):
 
     @nn.compact
     def __call__(self, query, reference_points, value_tokens,
-                 value_spatial_shapes: Sequence[Tuple[int, int]]):
+                 value_spatial_shapes: Sequence[Tuple[int, int]],
+                 train: bool = False):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         B, Lq, _ = query.shape
         d_value = int(self.d_model * self.ratio)
@@ -106,7 +107,7 @@ class MSDeformAttn(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        if use_pallas_msda():
+        if use_pallas_msda(train):
             from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas
 
             out = ms_deform_attn_pallas(value, tuple(value_spatial_shapes), loc, attn)
@@ -191,6 +192,7 @@ class Extractor(nn.Module):
             reference_points,
             LayerNormFp32(1e-6, name="feat_norm")(feat),
             value_spatial_shapes,
+            train=train,
         )
         query = query + attn
         if self.with_cffn:

@@ -149,11 +149,158 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights, interpret
 
 def _bwd(spatial_shapes, interpret, res, g):
     value, sampling_locations, attention_weights = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_core(v, spatial_shapes, l, a),
-        value, sampling_locations, attention_weights,
-    )
-    return vjp(g)
+    return _pallas_backward(value, spatial_shapes, sampling_locations,
+                            attention_weights, g, interpret)
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
+
+
+def _bwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, g_ref,
+                gv_ref, ga_ref, gx_ref, gy_ref):
+    """One program = one (b, m, q-block); q is the innermost (sequential) grid
+    dim so gv_ref (whose index map ignores q) accumulates across q-blocks.
+
+    Semantics = the CUDA col2im backward
+    (ref: ms_deform_im2col_cuda.cuh:307-928): grad_value is the scatter-add
+    transpose of the forward gather, expressed here as the matmul
+    g (D,Q) @ W^T (Q,S); grad_attn / grad_loc contract re-sampled values and
+    bilinear-weight derivatives against g on the MXU.
+    """
+    D = value_ref.shape[2]
+    Q = g_ref.shape[3]
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        gv_ref[0, 0] = jnp.zeros_like(gv_ref[0, 0])
+
+    g = g_ref[0, 0]  # (D, Q)
+    start = 0
+    for lvl, (H, W) in enumerate(shapes):
+        S_l = H * W
+        iota = jax.lax.broadcasted_iota(jnp.int32, (S_l, Q), 0)
+        v = value_ref[0, 0, :, start : start + S_l]  # (D, S_l)
+        w_total = jnp.zeros((S_l, Q), jnp.float32)
+        for p in range(P):
+            row = lvl * P + p
+            x = xs_ref[0, 0, row : row + 1, :]  # (1, Q)
+            y = ys_ref[0, 0, row : row + 1, :]
+            aw = aw_ref[0, 0, row : row + 1, :]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            w_plain = jnp.zeros((S_l, Q), jnp.float32)
+            dwdx = jnp.zeros((S_l, Q), jnp.float32)
+            dwdy = jnp.zeros((S_l, Q), jnp.float32)
+            for dy, dx, wgt, dwx, dwy in (
+                (0, 0, (1 - fy) * (1 - fx), -(1 - fy), -(1 - fx)),
+                (0, 1, (1 - fy) * fx, (1 - fy), -fx),
+                (1, 0, fy * (1 - fx), -fy, (1 - fx)),
+                (1, 1, fy * fx, fy, fx),
+            ):
+                yy = y0i + dy
+                xx = x0i + dx
+                valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+                idx = jnp.where(valid, yy * W + xx, -1)
+                hit = iota == idx
+                w_plain = w_plain + jnp.where(hit, wgt, 0.0)
+                dwdx = dwdx + jnp.where(hit, dwx, 0.0)
+                dwdy = dwdy + jnp.where(hit, dwy, 0.0)
+            w_total = w_total + aw * w_plain
+
+            # sampled value / its positional derivatives at this point: (D, Q)
+            sampled = jax.lax.dot_general(
+                v, w_plain, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sdx = jax.lax.dot_general(
+                v, dwdx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sdy = jax.lax.dot_general(
+                v, dwdy, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ga_ref[0, 0, row, :] = jnp.sum(sampled * g, axis=0)
+            gx_ref[0, 0, row, :] = aw[0] * jnp.sum(sdx * g, axis=0)
+            gy_ref[0, 0, row, :] = aw[0] * jnp.sum(sdy * g, axis=0)
+
+        # grad_value level block: g (D,Q) @ w_total^T (Q,S_l) -> (D, S_l)
+        gv_ref[0, 0, :, start : start + S_l] += jax.lax.dot_general(
+            g, w_total, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        start += S_l
+
+
+def _pallas_backward(value, spatial_shapes, sampling_locations, attention_weights,
+                     g, interpret=False):
+    """Returns (grad_value, grad_sampling_locations, grad_attention_weights)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+
+    sizes = jnp.asarray([[w, h] for (h, w) in spatial_shapes], jnp.float32)  # (L,2)
+    unnorm = (sampling_locations.astype(jnp.float32)
+              * sizes[None, None, None, :, None, :] - 0.5)
+    xs = unnorm[..., 0].transpose(0, 2, 3, 4, 1).reshape(B, M, L * P, Lq)
+    ys = unnorm[..., 1].transpose(0, 2, 3, 4, 1).reshape(B, M, L * P, Lq)
+    aw = (attention_weights.astype(jnp.float32)
+          .transpose(0, 2, 3, 4, 1).reshape(B, M, L * P, Lq))
+    v = value.astype(jnp.float32).transpose(0, 2, 3, 1)  # (B, M, D, S)
+    # g: (B, Lq, M*D) -> (B, M, D, Lq)
+    gt = g.astype(jnp.float32).reshape(B, Lq, M, D).transpose(0, 2, 3, 1)
+
+    q_pad = (-Lq) % BLK_Q
+    if q_pad:
+        pad4 = ((0, 0), (0, 0), (0, 0), (0, q_pad))
+        xs = jnp.pad(xs, pad4, constant_values=-10.0)
+        ys = jnp.pad(ys, pad4, constant_values=-10.0)
+        aw = jnp.pad(aw, pad4)
+        gt = jnp.pad(gt, pad4)
+    Lq_p = Lq + q_pad
+    n_qb = Lq_p // BLK_Q
+
+    kernel = functools.partial(_bwd_kernel, tuple(spatial_shapes), P)
+    lane_spec = pl.BlockSpec((1, 1, L * P, BLK_Q), lambda b, m, q: (b, m, 0, q),
+                             memory_space=pltpu.VMEM)
+    gv, ga, gx, gy = pl.pallas_call(
+        kernel,
+        grid=(B, M, n_qb),
+        in_specs=[
+            lane_spec, lane_spec, lane_spec,
+            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, BLK_Q), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            lane_spec, lane_spec, lane_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, D, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, L * P, Lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, L * P, Lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, L * P, Lq_p), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * B * M * D * S * Lq_p,
+            bytes_accessed=4 * B * M * (4 * L * P * Lq_p + 2 * D * S + D * Lq_p),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys, aw, v, gt)
+
+    # back to caller layouts
+    grad_value = gv.transpose(0, 3, 1, 2).astype(value.dtype)  # (B, S, M, D)
+    ga = ga[..., :Lq].reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
+    grad_attn = ga.astype(attention_weights.dtype)
+    gx = gx[..., :Lq].reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
+    gy = gy[..., :Lq].reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
+    # chain rule through unnormalization: d unnorm/d loc = (W_l, H_l)
+    grad_loc = jnp.stack(
+        [gx * sizes[None, None, None, :, None, 0],
+         gy * sizes[None, None, None, :, None, 1]], axis=-1
+    ).astype(sampling_locations.dtype)
+    return grad_value, grad_loc, grad_attn

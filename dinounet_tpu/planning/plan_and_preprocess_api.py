@@ -116,3 +116,53 @@ def preprocess(dataset_ids: List[int], plans_identifier: str = "nnUNetPlans",
                num_processes=(8, 4, 8), verbose: bool = False):
     for d in dataset_ids:
         preprocess_dataset(d, plans_identifier, configurations, num_processes, verbose)
+
+
+def plan_and_preprocess_entry():
+    """CLI (ref experiment_planning/plan_and_preprocess_entrypoints.py,
+    nnUNetv2_plan_and_preprocess)."""
+    import argparse
+
+    import dinounet_tpu.planning  # noqa: F401  (registers planners)
+    from dinounet_tpu.utilities import registry
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-d", nargs="+", type=int, required=True, help="dataset ids")
+    parser.add_argument("-fpe", type=str, default="DatasetFingerprintExtractor")
+    parser.add_argument("-npfp", type=int, default=8,
+                        help="processes for fingerprint extraction")
+    parser.add_argument("--verify_dataset_integrity", action="store_true")
+    parser.add_argument("--no_pp", action="store_true",
+                        help="only fingerprint + plan, skip preprocessing")
+    parser.add_argument("--clean", action="store_true")
+    parser.add_argument("-pl", type=str, default="ExperimentPlanner",
+                        help="experiment planner class name")
+    parser.add_argument("-gpu_memory_target", type=float, default=8)
+    parser.add_argument("-preprocessor_name", type=str, default="DefaultPreprocessor")
+    parser.add_argument("-overwrite_target_spacing", nargs="+", default=None)
+    parser.add_argument("-overwrite_plans_name", type=str, default=None)
+    parser.add_argument("-c", nargs="+", type=str,
+                        default=["2d", "3d_fullres", "3d_lowres"])
+    parser.add_argument("-np", nargs="+", type=int, default=None)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    extract_fingerprints(args.d, num_processes=args.npfp,
+                         check_dataset_integrity=args.verify_dataset_integrity,
+                         clean=True, verbose=args.verbose)
+    planner_class = registry.planners.get(args.pl)
+    plans_identifier = plan_experiments(
+        args.d, experiment_planner_class=planner_class,
+        gpu_memory_target_in_gb=args.gpu_memory_target,
+        preprocess_class_name=args.preprocessor_name,
+        overwrite_target_spacing=args.overwrite_target_spacing,
+        overwrite_plans_name=args.overwrite_plans_name,
+    )
+    if not args.no_pp:
+        default_np = {"2d": 8, "3d_fullres": 4, "3d_lowres": 8}
+        num_processes = args.np or [default_np.get(c, 4) for c in args.c]
+        preprocess(args.d, plans_identifier, args.c, num_processes, args.verbose)
+
+
+if __name__ == "__main__":
+    plan_and_preprocess_entry()

@@ -212,3 +212,52 @@ def apply_postprocessing_to_folder(input_folder: str, output_folder: str,
     rw = plans_manager.image_reader_writer_class()
     files = subfiles(input_folder, suffix=dataset_json["file_ending"], join=False)
     _run_pp_on_folder(input_folder, output_folder, files, rw, pp_fns, pp_fn_kwargs)
+
+
+def entry_point_determine_postprocessing():
+    """CLI (ref remove_connected_components.py:248-289,
+    nnUNetv2_determine_postprocessing)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-i", type=str, required=True,
+                        help="folder with predictions to analyse")
+    parser.add_argument("-ref", type=str, required=True, help="ground-truth folder")
+    parser.add_argument("-plans_json", type=str, default=None)
+    parser.add_argument("-dataset_json", type=str, default=None)
+    parser.add_argument("-np", type=int, default=default_num_processes)
+    parser.add_argument("--remove_postprocessed", action="store_true")
+    args = parser.parse_args()
+    determine_postprocessing(
+        args.i, args.ref, args.plans_json, args.dataset_json,
+        num_processes=args.np,
+        keep_postprocessed_files=not args.remove_postprocessed,
+    )
+
+
+def entry_point_apply_postprocessing():
+    """CLI (ref remove_connected_components.py:292-336,
+    nnUNetv2_apply_postprocessing)."""
+    import argparse
+    import pickle
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-i", type=str, required=True)
+    parser.add_argument("-o", type=str, required=True)
+    parser.add_argument("-pp_pkl_file", type=str, required=True)
+    parser.add_argument("-np", type=int, default=default_num_processes)
+    parser.add_argument("-plans_json", type=str, default=None)
+    parser.add_argument("-dataset_json", type=str, default=None)
+    args = parser.parse_args()
+    with open(args.pp_pkl_file, "rb") as f:
+        pp_fns, pp_fn_kwargs = pickle.load(f)
+    apply_postprocessing_to_folder(
+        args.i, args.o, pp_fns, pp_fn_kwargs,
+        plans_file_or_dict=args.plans_json,
+        dataset_json_file_or_dict=args.dataset_json,
+        num_processes=args.np,
+    )
+
+
+if __name__ == "__main__":
+    entry_point_determine_postprocessing()

@@ -130,3 +130,46 @@ def run_training(dataset_name_or_id: Union[str, int], configuration: str,
         trainer.load_checkpoint(os.path.join(trainer.output_folder, "checkpoint_best.pth"))
     trainer.perform_actual_validation(export_validation_probabilities)
     return trainer
+
+
+def run_training_entry():
+    """Training CLI (ref run/run_training.py:218-277, nnUNetv2_train).
+
+    --num_gpus is accepted for reference-CLI compatibility: parallelism comes
+    from the devices JAX sees (a Mesh over them), not process spawning.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("dataset_name_or_id", type=str)
+    parser.add_argument("configuration", type=str)
+    parser.add_argument("fold", type=str, help="0..4 or 'all'")
+    parser.add_argument("-tr", type=str, default="nnUNetTrainer")
+    parser.add_argument("-p", type=str, default="nnUNetPlans")
+    parser.add_argument("-pretrained_weights", type=str, default=None)
+    parser.add_argument("-num_gpus", type=int, default=1,
+                        help="compat flag; the device mesh is auto-detected")
+    parser.add_argument("--use_compressed", action="store_true")
+    parser.add_argument("--npz", action="store_true",
+                        help="export softmax probabilities of the validation set")
+    parser.add_argument("--c", action="store_true", help="continue training")
+    parser.add_argument("--val", action="store_true", help="only run validation")
+    parser.add_argument("--val_best", action="store_true",
+                        help="validate with checkpoint_best")
+    parser.add_argument("--disable_checkpointing", action="store_true")
+    parser.add_argument("-device", type=str, default=None)
+    args = parser.parse_args()
+
+    run_training(
+        args.dataset_name_or_id, args.configuration, args.fold,
+        trainer_class_name=args.tr, plans_identifier=args.p,
+        pretrained_weights=args.pretrained_weights, num_gpus=args.num_gpus,
+        use_compressed_data=args.use_compressed,
+        export_validation_probabilities=args.npz, continue_training=args.c,
+        only_run_validation=args.val, disable_checkpointing=args.disable_checkpointing,
+        val_with_best=args.val_best, device=args.device,
+    )
+
+
+if __name__ == "__main__":
+    run_training_entry()

@@ -127,12 +127,14 @@ def _bilinear_sample(img: jnp.ndarray, src_y, src_x, cval: float = 0.0):
 
 
 def _nearest_sample(img: jnp.ndarray, src_y, src_x, cval):
-    """img (H, W) int; nearest-neighbor with constant fill."""
-    H, W = img.shape
+    """img (H, W) or (H, W, S) int; nearest-neighbor with constant fill."""
+    H, W = img.shape[:2]
     yy = jnp.round(src_y).astype(jnp.int32)
     xx = jnp.round(src_x).astype(jnp.int32)
     valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
     v = img[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+    if img.ndim == 3:
+        valid = valid[..., None]
     return jnp.where(valid, v, cval)
 
 
@@ -175,7 +177,9 @@ def _gamma_channel(x: jnp.ndarray, key, p: float, invert: bool, gamma_range):
 
 
 def _augment_one(key, data: jnp.ndarray, seg: jnp.ndarray, cfg: AugmentConfig):
-    """data (H_in, W_in, C) float32; seg (H_in, W_in) int32 -> final patch size."""
+    """data (H_in, W_in, C) float32; seg (H_in, W_in) or (H_in, W_in, S) int32
+    (extra trailing seg channels, e.g. the cascade's previous-stage labelmap,
+    ride through the same spatial transform) -> final patch size."""
     keys = jax.random.split(key, 18)
     H_out, W_out = cfg.patch_size
     C = data.shape[-1]
@@ -253,7 +257,7 @@ def _augment_one(key, data: jnp.ndarray, seg: jnp.ndarray, cfg: AugmentConfig):
 
     # 9. nonzero-mask zeroing (MaskTransform) + label cleanup (-1 -> 0)
     if any(cfg.use_mask_for_norm):
-        outside = seg < 0
+        outside = (seg[..., 0] if seg.ndim == 3 else seg) < 0
         for c, use in enumerate(cfg.use_mask_for_norm):
             if use:
                 x = x.at[..., c].set(jnp.where(outside, 0.0, x[..., c]))
@@ -264,8 +268,8 @@ def _augment_one(key, data: jnp.ndarray, seg: jnp.ndarray, cfg: AugmentConfig):
 @partial(jax.jit, static_argnums=(3,))
 def augment_batch_2d(key, data: jnp.ndarray, seg: jnp.ndarray,
                      cfg: AugmentConfig):
-    """data (B, H_in, W_in, C) float32, seg (B, H_in, W_in) int32
-    -> (B, *cfg.patch_size, C), (B, *cfg.patch_size)."""
+    """data (B, H_in, W_in, C) float32, seg (B, H_in, W_in) or
+    (B, H_in, W_in, S) int32 -> same ranks at cfg.patch_size."""
     keys = jax.random.split(key, data.shape[0])
     return jax.vmap(lambda k, d, s: _augment_one(k, d, s, cfg))(keys, data, seg)
 
@@ -283,3 +287,261 @@ def downsample_seg_for_ds(seg: jnp.ndarray, scales: Sequence[Tuple[float, ...]])
                 jax.image.resize(seg, (seg.shape[0], *tgt), method="nearest")
             )
     return outs
+
+
+# --------------------------------------------------------------------------- 3-D
+
+
+def get_enlarged_patch_size_3d(final_patch_size, rot_rad_per_axis,
+                               scale_range=(0.85, 1.25)) -> np.ndarray:
+    """3-D analogue of get_enlarged_patch_size: per rotation axis, the two
+    in-plane dims grow by the rotated-corner bound
+    (ref: compute_initial_patch_size.py:4-24, 3-D case)."""
+    rots = [min(90 / 360 * 2 * np.pi, abs(r)) for r in (
+        rot_rad_per_axis if isinstance(rot_rad_per_axis, (tuple, list))
+        else (rot_rad_per_axis,) * 3)]
+    coords = np.array(final_patch_size[-3:], dtype=float)
+    final_shape = coords.copy()
+    # rotation about axis k mixes the other two axes
+    for k, rot in enumerate(rots[:3]):
+        i, j = [a for a in range(3) if a != k]
+        ci, cj = coords[i], coords[j]
+        ri = abs(ci * np.cos(rot) + cj * np.sin(rot))
+        rj = abs(ci * np.sin(rot) + cj * np.cos(rot))
+        final_shape[i] = max(final_shape[i], ri)
+        final_shape[j] = max(final_shape[j], rj)
+    final_shape /= min(scale_range)
+    return final_shape.astype(int)
+
+
+def _rotation_matrix_3d(angles):
+    """R = Rx(ax) @ Ry(ay) @ Rz(az) (batchgenerators order)."""
+    ax, ay, az = angles
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rx @ ry @ rz
+
+
+def _affine_coords_3d(key, in_shape, out_shape, cfg: "AugmentConfig3D"):
+    k_prot, k_rot, k_pscale, k_scale = jax.random.split(key, 4)
+    do_rot = jax.random.uniform(k_prot) < cfg.p_rotation
+    lo = jnp.asarray([r[0] for r in cfg.rotation_ranges], jnp.float32)
+    hi = jnp.asarray([r[1] for r in cfg.rotation_ranges], jnp.float32)
+    angles = jnp.where(
+        do_rot, jax.random.uniform(k_rot, (3,)) * (hi - lo) + lo, jnp.zeros(3))
+    do_scale = jax.random.uniform(k_pscale) < cfg.p_scale
+    scale = jnp.where(
+        do_scale, jax.random.uniform(k_scale, minval=cfg.scale_range[0],
+                                     maxval=cfg.scale_range[1]), 1.0)
+    R = _rotation_matrix_3d(angles)
+    centers_in = jnp.asarray([(s - 1) / 2.0 for s in in_shape], jnp.float32)
+    centers_out = jnp.asarray([(s - 1) / 2.0 for s in out_shape], jnp.float32)
+    grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in out_shape],
+                         indexing="ij")
+    coords = jnp.stack([g - c for g, c in zip(grids, centers_out)], axis=-1)
+    src = coords @ R.T * scale + centers_in  # (*out_shape, 3)
+    return src[..., 0], src[..., 1], src[..., 2]
+
+
+def _trilinear_sample(vol: jnp.ndarray, sz, sy, sx, cval: float = 0.0):
+    """vol (D, H, W, C); src coords (*out) -> (*out, C)."""
+    D, H, W, _ = vol.shape
+    z0, y0, x0 = jnp.floor(sz), jnp.floor(sy), jnp.floor(sx)
+    fz, fy, fx = sz - z0, sy - y0, sx - x0
+    z0, y0, x0 = z0.astype(jnp.int32), y0.astype(jnp.int32), x0.astype(jnp.int32)
+    out = 0.0
+    for dz in (0, 1):
+        wz = (1 - fz) if dz == 0 else fz
+        for dy in (0, 1):
+            wy = (1 - fy) if dy == 0 else fy
+            for dx in (0, 1):
+                wx = (1 - fx) if dx == 0 else fx
+                zz, yy, xx = z0 + dz, y0 + dy, x0 + dx
+                valid = ((zz >= 0) & (zz < D) & (yy >= 0) & (yy < H)
+                         & (xx >= 0) & (xx < W))
+                v = vol[jnp.clip(zz, 0, D - 1), jnp.clip(yy, 0, H - 1),
+                        jnp.clip(xx, 0, W - 1)]
+                v = jnp.where(valid[..., None], v, cval)
+                out = out + v * (wz * wy * wx)[..., None]
+    return out
+
+
+def _nearest_sample_3d(vol: jnp.ndarray, sz, sy, sx, cval):
+    """vol (D, H, W) or (D, H, W, S) int; nearest with constant fill."""
+    D, H, W = vol.shape[:3]
+    zz = jnp.round(sz).astype(jnp.int32)
+    yy = jnp.round(sy).astype(jnp.int32)
+    xx = jnp.round(sx).astype(jnp.int32)
+    valid = (zz >= 0) & (zz < D) & (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+    v = vol[jnp.clip(zz, 0, D - 1), jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+    if vol.ndim == 4:
+        valid = valid[..., None]
+    return jnp.where(valid, v, cval)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig3D:
+    """3-D spatial+intensity augmentation config (ref nnUNetTrainer.py:391-446:
+    ±30 deg per axis for near-isotropic patches, in-plane only for dummy-2d)."""
+    patch_size: Tuple[int, int, int] = (64, 128, 128)
+    rotation_ranges: Tuple[Tuple[float, float], ...] = (
+        (-0.5236, 0.5236),) * 3  # 30 deg
+    p_rotation: float = 0.2
+    scale_range: Tuple[float, float] = (0.7, 1.4)
+    p_scale: float = 0.2
+    p_noise: float = 0.1
+    noise_variance: Tuple[float, float] = (0.0, 0.1)
+    p_blur: float = 0.2
+    p_blur_per_channel: float = 0.5
+    blur_sigma: Tuple[float, float] = (0.5, 1.0)
+    p_brightness: float = 0.15
+    brightness_range: Tuple[float, float] = (0.75, 1.25)
+    p_contrast: float = 0.15
+    contrast_range: Tuple[float, float] = (0.75, 1.25)
+    p_gamma_invert: float = 0.1
+    p_gamma: float = 0.3
+    gamma_range: Tuple[float, float] = (0.7, 1.5)
+    mirror_axes: Tuple[int, ...] = (0, 1, 2)
+    use_mask_for_norm: Tuple[bool, ...] = ()
+
+
+def _blur_volume(vol3d: jnp.ndarray, sigma, enabled):
+    """Separable Gaussian blur of one (D, H, W) channel over all three axes."""
+    k = _gaussian_kernel(sigma)
+    r = (k.shape[0] - 1) // 2
+
+    def conv_last(v):  # convolve along the last axis
+        pad = [(0, 0)] * (v.ndim - 1) + [(r, r)]
+        vp = jnp.pad(v, pad, mode="edge")
+        flat = vp.reshape(-1, vp.shape[-1])
+        out = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(flat)
+        return out.reshape(*v.shape[:-1], v.shape[-1])
+
+    out = conv_last(vol3d)                      # W axis
+    out = conv_last(out.transpose(0, 2, 1)).transpose(0, 2, 1)  # H axis
+    out = conv_last(out.transpose(1, 2, 0)).transpose(2, 0, 1)  # D axis
+    return jnp.where(enabled, out, vol3d)
+
+
+def _augment_one_3d(key, data: jnp.ndarray, seg: jnp.ndarray, cfg: AugmentConfig3D):
+    """data (D_in, H_in, W_in, C) float32; seg (D_in, H_in, W_in) int32."""
+    keys = jax.random.split(key, 16)
+    out_shape = cfg.patch_size
+    C = data.shape[-1]
+
+    sz, sy, sx = _affine_coords_3d(keys[0], data.shape[:3], out_shape, cfg)
+    x = _trilinear_sample(data, sz, sy, sx, 0.0)
+    seg = _nearest_sample_3d(seg, sz, sy, sx, -1)
+
+    std = jax.random.uniform(keys[1], minval=cfg.noise_variance[0],
+                             maxval=cfg.noise_variance[1])
+    noise = jax.random.normal(keys[2], x.shape) * std
+    x = jnp.where(jax.random.uniform(keys[3]) < cfg.p_noise, x + noise, x)
+
+    do_blur = jax.random.uniform(keys[4]) < cfg.p_blur
+    ch_on = jax.random.uniform(keys[5], (C,)) < cfg.p_blur_per_channel
+    sigmas = jax.random.uniform(keys[6], (C,), minval=cfg.blur_sigma[0],
+                                maxval=cfg.blur_sigma[1])
+    x = jax.vmap(lambda v, s, on: _blur_volume(v, s, do_blur & on),
+                 in_axes=(3, 0, 0), out_axes=3)(x, sigmas, ch_on)
+
+    mult = jax.random.uniform(keys[7], (C,), minval=cfg.brightness_range[0],
+                              maxval=cfg.brightness_range[1])
+    x = jnp.where(jax.random.uniform(keys[8]) < cfg.p_brightness, x * mult, x)
+
+    f = jax.random.uniform(keys[9], (C,), minval=cfg.contrast_range[0],
+                           maxval=cfg.contrast_range[1])
+    mean = x.mean(axis=(0, 1, 2), keepdims=True)
+    mn = x.min(axis=(0, 1, 2), keepdims=True)
+    mx = x.max(axis=(0, 1, 2), keepdims=True)
+    contrasted = jnp.clip((x - mean) * f + mean, mn, mx)
+    x = jnp.where(jax.random.uniform(keys[10]) < cfg.p_contrast, contrasted, x)
+
+    x = _gamma_channel(x, keys[11], cfg.p_gamma_invert, True, cfg.gamma_range)
+    x = _gamma_channel(x, keys[12], cfg.p_gamma, False, cfg.gamma_range)
+
+    for axis, kf in zip((0, 1, 2), (keys[13], keys[14], keys[15])):
+        if axis in cfg.mirror_axes:
+            flip = jax.random.uniform(kf) < 0.5
+            x = jnp.where(flip, jnp.flip(x, axis), x)
+            seg = jnp.where(flip, jnp.flip(seg, axis), seg)
+
+    if any(cfg.use_mask_for_norm):
+        outside = (seg[..., 0] if seg.ndim == 4 else seg) < 0
+        for c, use in enumerate(cfg.use_mask_for_norm):
+            if use:
+                x = x.at[..., c].set(jnp.where(outside, 0.0, x[..., c]))
+    seg = jnp.where(seg < 0, 0, seg)
+    return x, seg
+
+
+@partial(jax.jit, static_argnums=(3,))
+def augment_batch_3d(key, data: jnp.ndarray, seg: jnp.ndarray, cfg: AugmentConfig3D):
+    """data (B, D, H, W, C) float32, seg (B, D, H, W) or (B, D, H, W, S) int32
+    -> final patch."""
+    keys = jax.random.split(key, data.shape[0])
+    return jax.vmap(lambda k, d, s: _augment_one_3d(k, d, s, cfg))(keys, data, seg)
+
+
+# ----------------------------------------------------------------- cascade
+
+
+def cascade_onehot_augment(key, prev_labelmap: jnp.ndarray,
+                           foreground_labels: Tuple[int, ...],
+                           p_binary_op: float = 0.4,
+                           strel_radii: Tuple[int, ...] = (1, 2, 3)):
+    """Previous-stage seg -> augmented one-hot data channels (cascade training).
+
+    ref: MoveSegAsOneHotToData + ApplyRandomBinaryOperator
+    (training/data_augmentation/custom_transforms/cascade_transforms.py:10-70,
+    wired at nnUNetTrainer.py:743-767): each one-hot channel independently gets
+    a random morphological op with p=0.4. Dilation/erosion run as max/min pools
+    (reduce_window) with a random square structure element; opening/closing are
+    their compositions. The reference's RemoveRandomConnectedComponent (p=0.2)
+    needs connected-component labelling, which is not expressible as a
+    fixed-shape XLA op — documented deviation: erosion serves as the
+    drop-small-structures analogue.
+
+    prev_labelmap: (..., spatial) int; returns float one-hot (..., spatial, F).
+    """
+    onehot = jnp.stack(
+        [(prev_labelmap == l).astype(jnp.float32) for l in foreground_labels],
+        axis=-1)
+    nd = prev_labelmap.ndim  # spatial rank (per-sample call) or with batch dim
+    F = len(foreground_labels)
+    keys = jax.random.split(key, 3 * F).reshape(F, 3, 2)
+
+    def _pool(x, radius_choice, is_max):
+        outs = [x]
+        for r in strel_radii:
+            w = 2 * r + 1
+            win = (w,) * nd
+            pad = [(r, r)] * nd
+            if is_max:
+                o = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, win,
+                                          (1,) * nd, pad)
+            else:
+                o = jax.lax.reduce_window(x, jnp.inf, jax.lax.min, win,
+                                          (1,) * nd, pad)
+            outs.append(o)
+        stacked = jnp.stack(outs)  # (len+1, ...)
+        return stacked[radius_choice]
+
+    out = []
+    for f in range(F):
+        ch = onehot[..., f]
+        k_p, k_op, k_r = keys[f, 0], keys[f, 1], keys[f, 2]
+        apply = jax.random.uniform(k_p) < p_binary_op
+        r_idx = jax.random.randint(k_r, (), 1, len(strel_radii) + 1)
+        dil = _pool(ch, r_idx, True)
+        ero = _pool(ch, r_idx, False)
+        opened = _pool(_pool(ch, r_idx, False), r_idx, True)
+        closed = _pool(_pool(ch, r_idx, True), r_idx, False)
+        op_idx = jax.random.randint(k_op, (), 0, 4)
+        morphed = jnp.stack([dil, ero, opened, closed])[op_idx]
+        out.append(jnp.where(apply, morphed, ch))
+    return jnp.stack(out, axis=-1)

@@ -125,10 +125,39 @@ class nnUNetTrainer:
 
     # ------------------------------------------------------------------ setup
 
+    @property
+    def is_cascaded(self) -> bool:
+        """ref nnUNetTrainer.py: cascade iff the config names a previous stage."""
+        return self.configuration_manager.previous_stage_name is not None
+
+    @property
+    def folder_with_segs_from_previous_stage(self):
+        """results/<ds>/<Trainer>__<plans>__<prev>/predicted_next_stage/<config>
+        (ref nnUNetTrainer.py:131-137)."""
+        if not self.is_cascaded:
+            return None
+        return os.path.join(
+            paths.nnUNet_results(), self.plans_manager.dataset_name,
+            self.__class__.__name__ + "__" + self.plans_manager.plans_name + "__"
+            + self.configuration_manager.previous_stage_name,
+            "predicted_next_stage", self.configuration_name)
+
     @staticmethod
     def _make_mesh() -> Mesh:
-        devices = np.array(jax.devices())
-        return Mesh(devices, ("data",))
+        """('data', 'model') mesh over all local devices.
+
+        DINOUNET_TPU_MODEL_AXIS > 1 turns on megatron-style GSPMD sharding of
+        the frozen ViT backbone over the inner 'model' axis (the dinounet_7b
+        configuration, BASELINE.json config 4); the default 1 is pure data
+        parallelism, the reference's DDP (ref run_training.py:104-138) without
+        process groups.
+        """
+        from dinounet_tpu.parallel import make_mesh
+
+        n_model = int(os.environ.get("DINOUNET_TPU_MODEL_AXIS", "1"))
+        platform = os.environ.get("DINOUNET_TPU_PLATFORM")  # e.g. "cpu" for tests
+        devices = jax.devices(platform) if platform else None
+        return make_mesh(n_model=n_model, devices=devices)
 
     def print_to_log_file(self, *args, also_print_to_console: bool = True):
         msg = " ".join(str(a) for a in args)
@@ -143,10 +172,20 @@ class nnUNetTrainer:
                                    arch_init_kwargs_req_import, num_input_channels: int,
                                    num_output_channels: int,
                                    enable_deep_supervision: bool = True):
-        """Default path: PlainConvUNet from plans (ref get_network_from_plans.py:9).
-        Returns a flax module."""
+        """Default path: build the conv U-Net named by the plans
+        (ref get_network_from_plans.py:9; dotted torch class paths map onto our
+        flax equivalents by trailing class name). Returns a flax module."""
         arch = dict(arch_init_kwargs)
         arch["deep_supervision"] = enable_deep_supervision
+        class_name = (architecture_class_name or "PlainConvUNet").rsplit(".", 1)[-1]
+        if class_name == "ResidualEncoderUNet":
+            from dinounet_tpu.models.residual_unet import (
+                ResidualEncoderUNet,
+                ResidualUNetConfig,
+            )
+
+            return ResidualEncoderUNet(
+                ResidualUNetConfig.from_plans_arch(arch, num_output_channels))
         cfg = PlainUNetConfig.from_plans_arch(arch, num_output_channels)
         return PlainConvUNet(cfg)
 
@@ -198,6 +237,8 @@ class nnUNetTrainer:
         )
 
     def _init_params_and_optimizer(self):
+        from dinounet_tpu.parallel import param_shardings, replicated
+
         rng, self._rng = jax.random.split(self._rng)
         x = self._example_input()
         with self.mesh:
@@ -207,8 +248,16 @@ class nnUNetTrainer:
         self.variables = dict(variables)
         if "batch_stats" not in self.variables:
             self.variables["batch_stats"] = {}
+        # commit GSPMD shardings: backbone weights split over 'model' (no-op
+        # at model axis 1), everything else replicated
+        self.variables["params"] = jax.device_put(
+            self.variables["params"], param_shardings(self.mesh, self.variables["params"]))
+        self.variables["batch_stats"] = jax.device_put(
+            self.variables["batch_stats"],
+            jax.tree_util.tree_map(lambda _: replicated(self.mesh),
+                                   self.variables["batch_stats"]))
         self.tx = self.configure_optimizers()
-        self.opt_state = self.tx.init(self.variables["params"])
+        self.opt_state = jax.jit(self.tx.init)(self.variables["params"])
         n_params = sum(p.size for p in jax.tree.leaves(self.variables["params"]))
         self.print_to_log_file(f"Network initialized: {n_params / 1e6:.2f}M parameters")
 
@@ -258,12 +307,24 @@ class nnUNetTrainer:
             )
         else:
             do_dummy_2d = (max(patch_size) / patch_size[0]) > ANISO_THRESHOLD
-            rotation = (
-                (-np.pi, np.pi) if do_dummy_2d
-                else (-30.0 / 360 * 2 * np.pi, 30.0 / 360 * 2 * np.pi)
-            )
+            if do_dummy_2d:
+                # anisotropic volume: full in-plane rotation only (ref :404-414)
+                rotation = (-np.pi, np.pi)
+                rotation_per_axis = ((-np.pi, np.pi), (0.0, 0.0), (0.0, 0.0))
+            else:
+                r = 30.0 / 360 * 2 * np.pi
+                rotation = (-r, r)
+                rotation_per_axis = ((-r, r),) * 3
             mirror_axes = (0, 1, 2)
-            initial_patch_size = np.array(patch_size)  # 3-D spatial aug TBD: loader-size aug
+            from dinounet_tpu.training.augmentation import get_enlarged_patch_size_3d
+
+            initial_patch_size = get_enlarged_patch_size_3d(
+                patch_size, [max(abs(a), abs(b)) for a, b in rotation_per_axis],
+                (0.85, 1.25))
+            if do_dummy_2d:
+                # the through-plane axis is never resampled by in-plane rotation
+                initial_patch_size[0] = patch_size[0]
+            self._rotation_per_axis = rotation_per_axis
         self.inference_allowed_mirroring_axes = mirror_axes
         return rotation, do_dummy_2d, initial_patch_size, mirror_axes
 
@@ -273,27 +334,46 @@ class nnUNetTrainer:
             self._configure_rotation_dummyDA_mirroring_and_initial_patch_size()
 
         tr_keys, val_keys = self.do_split()
-        dataset_tr = nnUNetDataset(self.preprocessed_dataset_folder, tr_keys)
-        dataset_val = nnUNetDataset(self.preprocessed_dataset_folder, val_keys)
+        prev_folder = self.folder_with_segs_from_previous_stage
+        dataset_tr = nnUNetDataset(self.preprocessed_dataset_folder, tr_keys,
+                                   folder_with_segs_from_previous_stage=prev_folder)
+        dataset_val = nnUNetDataset(self.preprocessed_dataset_folder, val_keys,
+                                    folder_with_segs_from_previous_stage=prev_folder)
+
+        # the plans batch size is the global batch; round it up to a multiple
+        # of the data axis so every device gets >= 1 sample (the reference's
+        # DDP per-rank batch split, ref nnUNetTrainer.py:308-353)
+        n_data = self.mesh.shape["data"]
+        batch_size = -(-self.configuration_manager.batch_size // n_data) * n_data
 
         loader_cls = nnUNetDataLoader2D if dim == 2 else nnUNetDataLoader3D
         self.dataloader_train = loader_cls(
-            dataset_tr, self.configuration_manager.batch_size,
+            dataset_tr, batch_size,
             initial_patch_size, self.configuration_manager.patch_size,
             self.label_manager, self.oversample_foreground_percent,
         )
         self.dataloader_val = loader_cls(
-            dataset_val, self.configuration_manager.batch_size,
+            dataset_val, batch_size,
             self.configuration_manager.patch_size, self.configuration_manager.patch_size,
             self.label_manager, self.oversample_foreground_percent,
         )
 
-        self.augment_cfg = AugmentConfig(
-            patch_size=tuple(self.configuration_manager.patch_size)[-2:],
-            rotation_range=rotation,
-            mirror_axes=mirror_axes,
-            use_mask_for_norm=tuple(self.configuration_manager.use_mask_for_norm),
-        )
+        if dim == 2:
+            self.augment_cfg = AugmentConfig(
+                patch_size=tuple(self.configuration_manager.patch_size)[-2:],
+                rotation_range=rotation,
+                mirror_axes=mirror_axes,
+                use_mask_for_norm=tuple(self.configuration_manager.use_mask_for_norm),
+            )
+        else:
+            from dinounet_tpu.training.augmentation import AugmentConfig3D
+
+            self.augment_cfg = AugmentConfig3D(
+                patch_size=tuple(self.configuration_manager.patch_size),
+                rotation_ranges=tuple(self._rotation_per_axis),
+                mirror_axes=mirror_axes,
+                use_mask_for_norm=tuple(self.configuration_manager.use_mask_for_norm),
+            )
 
     # ------------------------------------------------------------- loss/steps
 
@@ -318,13 +398,29 @@ class nnUNetTrainer:
         has_ignore = self.label_manager.has_ignore_label
         ignore_label = self.label_manager.ignore_label
 
+        is_cascaded = self.is_cascaded
+        fg_labels = tuple(self.label_manager.foreground_labels)
+
         def train_step(params, batch_stats, opt_state, data, seg, rng):
+            aug_rng, casc_rng, drop_rng = jax.random.split(rng, 3)
             if dim == 2:
-                aug_rng, drop_rng = jax.random.split(rng)
                 data_a, seg_a = augment_batch_2d(aug_rng, data, seg, augment_cfg)
             else:
-                drop_rng = rng
-                data_a, seg_a = data, jnp.where(seg < 0, 0, seg)
+                from dinounet_tpu.training.augmentation import augment_batch_3d
+
+                data_a, seg_a = augment_batch_3d(aug_rng, data, seg, augment_cfg)
+            if is_cascaded:
+                from dinounet_tpu.training.augmentation import (
+                    cascade_onehot_augment,
+                )
+
+                prev = seg_a[..., 1]
+                seg_a = seg_a[..., 0]
+                casc_keys = jax.random.split(casc_rng, prev.shape[0])
+                onehot = jax.vmap(
+                    lambda k, p: cascade_onehot_augment(k, p, fg_labels)
+                )(casc_keys, prev)
+                data_a = jnp.concatenate([data_a, onehot.astype(data_a.dtype)], -1)
 
             def loss_of(p):
                 out, mut = model.apply(
@@ -355,6 +451,12 @@ class nnUNetTrainer:
             return new_params, new_bs, new_opt, loss
 
         def val_step(params, batch_stats, data, seg):
+            if is_cascaded:
+                prev = jnp.where(seg[..., 1] < 0, 0, seg[..., 1])
+                seg = seg[..., 0]
+                onehot = jnp.stack(
+                    [(prev == l).astype(data.dtype) for l in fg_labels], -1)
+                data = jnp.concatenate([data, onehot], -1)
             seg = jnp.where(seg < 0, 0, seg)
             out = model.apply({"params": params, "batch_stats": batch_stats}, data,
                               train=False)
@@ -380,14 +482,15 @@ class nnUNetTrainer:
 
         data_sh = NamedSharding(self.mesh, P("data"))
         repl = NamedSharding(self.mesh, P())
+        # params/batch_stats/opt_state keep their committed (GSPMD) shardings:
+        # replicated at model axis 1, megatron-split for the 7B backbone.
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(repl, repl, repl, data_sh, data_sh, repl),
-            out_shardings=(repl, repl, repl, repl),
+            in_shardings=(None, None, None, data_sh, data_sh, repl),
             donate_argnums=(0, 1, 2),
         )
         self._val_step = jax.jit(
-            val_step, in_shardings=(repl, repl, data_sh, data_sh),
+            val_step, in_shardings=(None, None, data_sh, data_sh),
             out_shardings=repl,
         )
 
@@ -419,11 +522,12 @@ class nnUNetTrainer:
 
     def _batch_to_device(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # loader: (B, C, *spatial) -> NHWC; seg (B, 1, *spatial) -> (B, *spatial)
+        # (cascade: seg keeps its channels last, (B, *spatial, 2))
         data = np.moveaxis(batch["data"], 1, -1)
-        seg = batch["seg"][:, 0].astype(np.int32)
-        if data.ndim == 5 and data.shape[1] == 1:
-            # 2d case stored with a leading singleton z — loader already slices
-            pass
+        if self.is_cascaded:
+            seg = np.moveaxis(batch["seg"], 1, -1).astype(np.int32)
+        else:
+            seg = batch["seg"][:, 0].astype(np.int32)
         return jnp.asarray(data), jnp.asarray(seg)
 
     def train_step_host(self, batch) -> float:
@@ -597,19 +701,52 @@ class nnUNetTrainer:
         validation_output_folder = os.path.join(self.output_folder, "validation")
         os.makedirs(validation_output_folder, exist_ok=True)
         _, val_keys = self.do_split()
-        dataset_val = nnUNetDataset(self.preprocessed_dataset_folder, val_keys)
+        dataset_val = nnUNetDataset(
+            self.preprocessed_dataset_folder, val_keys,
+            folder_with_segs_from_previous_stage=self.folder_with_segs_from_previous_stage,
+        )
+        # cascade: export validation logits resampled for every next stage
+        # (ref :1240-1256)
+        next_stages = self.configuration_manager.next_stage_names or []
+        for n in next_stages:
+            os.makedirs(os.path.join(self.output_folder_base,
+                                     "predicted_next_stage", n), exist_ok=True)
 
         for k in val_keys:
             self.print_to_log_file(f"predicting {k}")
             data, seg, properties = dataset_val.load_case(k)
+            data = np.asarray(data)
+            if self.is_cascaded:
+                # prev-stage labelmap rides as the last seg channel; feed it to
+                # the net as one-hot channels (ref :1217-1230)
+                from dinounet_tpu.utilities.label_handling import (
+                    convert_labelmap_to_one_hot,
+                )
+
+                data = np.vstack(
+                    (data, convert_labelmap_to_one_hot(
+                        np.asarray(seg[-1]), self.label_manager.foreground_labels,
+                        data.dtype)))
             output_filename_truncated = os.path.join(validation_output_folder, k)
-            prediction = predictor.predict_logits_from_preprocessed_data(
-                np.asarray(data)
-            )
+            prediction = predictor.predict_logits_from_preprocessed_data(data)
             export_prediction_from_logits(
                 prediction, properties, self.configuration_manager, self.plans_manager,
                 self.dataset_json, output_filename_truncated, save_probabilities,
             )
+            for n in next_stages:
+                from dinounet_tpu.inference.export import resample_and_save
+
+                next_cfg = self.plans_manager.get_configuration(n)
+                next_dataset = nnUNetDataset(
+                    os.path.join(self.preprocessed_dataset_folder_base,
+                                 next_cfg.data_identifier), [k])
+                target_shape = next_dataset.load_case(k)[0].shape[1:]
+                resample_and_save(
+                    prediction, target_shape,
+                    os.path.join(self.output_folder_base, "predicted_next_stage",
+                                 n, k + ".npz"),
+                    self.plans_manager, self.configuration_manager, properties,
+                    self.dataset_json)
 
         gt_folder = os.path.join(self.preprocessed_dataset_folder_base, "gt_segmentations")
         if os.path.isdir(gt_folder):

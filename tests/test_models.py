@@ -128,3 +128,89 @@ class TestDinoUNet:
         assert cfg.norm == "instancenorm"
         assert cfg.nonlin == "leaky_relu"
         assert cfg.vit.embed_dim == 384
+
+
+class TestCheckpointConverter:
+    """Round-trip of the torch->flax key mapping (ref: hub/backbones.py weight
+    loading; converter at models/convert.py)."""
+
+    def test_synthetic_state_dict_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from dinounet_tpu.models.convert import (
+            convert_dinov3_state_dict,
+            load_backbone_params,
+            load_dinov3_params_into,
+            save_backbone_params,
+        )
+        from dinounet_tpu.models.vit import DinoViT, ViTConfig
+
+        cfg = ViTConfig(embed_dim=32, depth=2, num_heads=2, dtype="float32")
+        model = DinoViT(cfg)
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, (0, 1))
+        ref = variables["params"]
+
+        rng = np.random.default_rng(0)
+        E, p = cfg.embed_dim, cfg.patch_size
+        sd = {
+            "patch_embed.proj.weight": rng.standard_normal((E, 3, p, p)).astype(np.float32),
+            "patch_embed.proj.bias": rng.standard_normal(E).astype(np.float32),
+            "cls_token": rng.standard_normal(ref["cls_token"].shape).astype(np.float32),
+            "storage_tokens": rng.standard_normal(ref["storage_tokens"].shape).astype(np.float32),
+            "norm.weight": rng.standard_normal(E).astype(np.float32),
+            "norm.bias": rng.standard_normal(E).astype(np.float32),
+        }
+        for i in range(cfg.depth):
+            pfx = f"blocks.{i}."
+            sd[pfx + "norm1.weight"] = rng.standard_normal(E).astype(np.float32)
+            sd[pfx + "norm1.bias"] = rng.standard_normal(E).astype(np.float32)
+            sd[pfx + "norm2.weight"] = rng.standard_normal(E).astype(np.float32)
+            sd[pfx + "norm2.bias"] = rng.standard_normal(E).astype(np.float32)
+            sd[pfx + "attn.qkv.weight"] = rng.standard_normal((3 * E, E)).astype(np.float32)
+            sd[pfx + "attn.qkv.bias"] = rng.standard_normal(3 * E).astype(np.float32)
+            # mask_k_bias: k-section of the qkv bias is masked out (ref attention.py:30-40)
+            mask = np.ones(3 * E, np.float32)
+            mask[E : 2 * E] = 0.0
+            sd[pfx + "attn.qkv.bias_mask"] = mask
+            sd[pfx + "attn.proj.weight"] = rng.standard_normal((E, E)).astype(np.float32)
+            sd[pfx + "attn.proj.bias"] = rng.standard_normal(E).astype(np.float32)
+            sd[pfx + "ls1.gamma"] = rng.standard_normal(E).astype(np.float32)
+            sd[pfx + "ls2.gamma"] = rng.standard_normal(E).astype(np.float32)
+            H = cfg.ffn_hidden
+            sd[pfx + "mlp.fc1.weight"] = rng.standard_normal((H, E)).astype(np.float32)
+            sd[pfx + "mlp.fc1.bias"] = rng.standard_normal(H).astype(np.float32)
+            sd[pfx + "mlp.fc2.weight"] = rng.standard_normal((E, H)).astype(np.float32)
+            sd[pfx + "mlp.fc2.bias"] = rng.standard_normal(E).astype(np.float32)
+
+        converted = convert_dinov3_state_dict(sd, cfg)
+
+        # structure matches the model's init tree exactly
+        assert jax.tree_util.tree_structure(
+            jax.tree.map(lambda x: 0, converted)
+        ) == jax.tree_util.tree_structure(jax.tree.map(lambda x: 0, ref))
+        for pth, leaf in jax.tree_util.tree_flatten_with_path(converted)[0]:
+            ref_leaf = ref
+            for k in pth:
+                ref_leaf = ref_leaf[k.key]
+            assert tuple(leaf.shape) == tuple(ref_leaf.shape), pth
+
+        # orientation: qkv kernel is W.T; k-bias masked to zero
+        blk = converted["block0"]
+        np.testing.assert_allclose(blk["attn"]["qkv"]["kernel"],
+                                   sd["blocks.0.attn.qkv.weight"].T)
+        E_ = cfg.embed_dim
+        np.testing.assert_allclose(blk["attn"]["qkv"]["bias"][E_:2 * E_], 0.0)
+
+        # save -> load -> splice into a full model's variables
+        out = tmp_path / "backbone.msgpack"
+        save_backbone_params(converted, str(out))
+        restored = load_backbone_params(str(out))
+        np.testing.assert_allclose(restored["block1"]["ls1_gamma"],
+                                   converted["block1"]["ls1_gamma"])
+
+        full = {"params": {"backbone": ref, "head": {"w": jnp.zeros((2, 2))}}}
+        spliced = load_dinov3_params_into(full, str(out))
+        np.testing.assert_allclose(
+            np.asarray(spliced["params"]["backbone"]["block0"]["attn"]["proj"]["kernel"]),
+            sd["blocks.0.attn.proj.weight"].T, rtol=1e-6)

@@ -1,0 +1,111 @@
+"""Tests for the parallelism package: mesh construction + GSPMD param specs.
+
+Execution of the sharded training step is exercised by
+__graft_entry__.dryrun_multichip (driver-run); these tests pin the sharding
+rules themselves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dinounet_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_spec_tree,
+)
+
+
+@pytest.fixture(scope="module")
+def cpu8():
+    devices = jax.devices("cpu")
+    assert len(devices) >= 8
+    return devices[:8]
+
+
+class TestMakeMesh:
+    def test_pure_data_parallel(self, cpu8):
+        mesh = make_mesh(n_model=1, devices=cpu8)
+        assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+        assert mesh.shape[DATA_AXIS] == 8
+        assert mesh.shape[MODEL_AXIS] == 1
+
+    def test_2d_mesh(self, cpu8):
+        mesh = make_mesh(n_model=2, devices=cpu8)
+        assert mesh.shape[DATA_AXIS] == 4
+        assert mesh.shape[MODEL_AXIS] == 2
+
+    def test_indivisible_raises(self, cpu8):
+        with pytest.raises(ValueError):
+            make_mesh(n_model=3, devices=cpu8)
+
+
+class TestParamSpecs:
+    @pytest.fixture(scope="class")
+    def vit_params(self):
+        """A miniature params tree with the backbone layout the rules target."""
+        d, h = 16, 64
+        leaf = jnp.zeros
+        return {
+            "backbone": {
+                "block0": {
+                    "attn": {
+                        "qkv": {"kernel": leaf((d, 3 * d)), "bias": leaf((3 * d,))},
+                        "proj": {"kernel": leaf((d, d)), "bias": leaf((d,))},
+                    },
+                    "mlp": {
+                        "fc1": {"kernel": leaf((d, h)), "bias": leaf((h,))},
+                        "fc2": {"kernel": leaf((h, d)), "bias": leaf((d,))},
+                    },
+                    "norm1": {"scale": leaf((d,)), "bias": leaf((d,))},
+                },
+                "patch_embed": {"kernel": leaf((16, 16, 3, d)), "bias": leaf((d,))},
+            },
+            "decoder": {"conv": {"kernel": leaf((3, 3, d, d)), "bias": leaf((d,))}},
+        }
+
+    def test_column_parallel(self, vit_params):
+        specs = param_spec_tree(vit_params)
+        blk = specs["backbone"]["block0"]
+        assert blk["attn"]["qkv"]["kernel"] == P(None, MODEL_AXIS)
+        assert blk["attn"]["qkv"]["bias"] == P(MODEL_AXIS)
+        assert blk["mlp"]["fc1"]["kernel"] == P(None, MODEL_AXIS)
+        assert blk["mlp"]["fc1"]["bias"] == P(MODEL_AXIS)
+
+    def test_row_parallel(self, vit_params):
+        specs = param_spec_tree(vit_params)
+        blk = specs["backbone"]["block0"]
+        assert blk["attn"]["proj"]["kernel"] == P(MODEL_AXIS, None)
+        assert blk["attn"]["proj"]["bias"] == P()
+        assert blk["mlp"]["fc2"]["kernel"] == P(MODEL_AXIS, None)
+        assert blk["mlp"]["fc2"]["bias"] == P()
+
+    def test_everything_else_replicated(self, vit_params):
+        specs = param_spec_tree(vit_params)
+        assert specs["backbone"]["block0"]["norm1"]["scale"] == P()
+        assert specs["backbone"]["patch_embed"]["kernel"] == P()
+        assert specs["decoder"]["conv"]["kernel"] == P()
+        assert specs["decoder"]["conv"]["bias"] == P()
+
+    def test_trainable_params_never_sharded(self, vit_params):
+        # only the frozen backbone is model-sharded; everything trainable
+        # must be replicated so the masked optimizer stays spec-free
+        specs = param_spec_tree(vit_params)
+        flat = jax.tree_util.tree_leaves_with_path(specs)
+        for path, spec in flat:
+            names = [getattr(p, "key", "") for p in path]
+            if "backbone" not in names:
+                assert spec == P(), f"non-backbone leaf {names} got {spec}"
+
+
+def test_batch_sharding_shards_batch_dim(cpu8):
+    mesh = make_mesh(n_model=2, devices=cpu8)
+    sh = batch_sharding(mesh)
+    x = jax.device_put(np.zeros((8, 4, 4, 1), np.float32), sh)
+    # 4-way data axis: each shard holds 2 of the 8 batch elements
+    shard_shapes = {s.data.shape for s in x.addressable_shards}
+    assert shard_shapes == {(2, 4, 4, 1)}

@@ -90,3 +90,153 @@ def test_checkpoint_resume(nnunet_env):
     leaves2 = jax.tree.leaves(trainer2.variables["params"])
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestAugment3D:
+    def test_shapes_and_labels(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import (
+            AugmentConfig3D,
+            augment_batch_3d,
+            get_enlarged_patch_size_3d,
+        )
+
+        final = (8, 12, 12)
+        init = get_enlarged_patch_size_3d(final, [0.5236] * 3, (0.85, 1.25))
+        assert all(i >= f for i, f in zip(init, final))
+
+        cfg = AugmentConfig3D(patch_size=final)
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.standard_normal((2, *init, 1)), jnp.float32)
+        seg = jnp.asarray(rng.integers(0, 3, (2, *init)), jnp.int32)
+        x, s = augment_batch_3d(jax.random.PRNGKey(0), data, seg, cfg)
+        assert x.shape == (2, *final, 1)
+        assert s.shape == (2, *final)
+        assert int(s.min()) >= 0  # -1 fill cleaned up
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_identity_when_disabled(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import (
+            AugmentConfig3D,
+            augment_batch_3d,
+        )
+
+        shape = (6, 10, 10)
+        cfg = AugmentConfig3D(
+            patch_size=shape, p_rotation=0.0, p_scale=0.0, p_noise=0.0,
+            p_blur=0.0, p_brightness=0.0, p_contrast=0.0, p_gamma=0.0,
+            p_gamma_invert=0.0, mirror_axes=())
+        rng = np.random.default_rng(1)
+        data = jnp.asarray(rng.standard_normal((1, *shape, 2)), jnp.float32)
+        seg = jnp.asarray(rng.integers(0, 2, (1, *shape)), jnp.int32)
+        x, s = augment_batch_3d(jax.random.PRNGKey(3), data, seg, cfg)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(data), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(seg))
+
+    def test_dummy_2d_rotation_preserves_z(self):
+        """In-plane-only rotation (anisotropic/dummy-2d) must not mix z slices."""
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import (
+            AugmentConfig3D,
+            augment_batch_3d,
+        )
+
+        shape = (4, 16, 16)
+        cfg = AugmentConfig3D(
+            patch_size=shape, p_rotation=1.0,
+            rotation_ranges=((-np.pi, np.pi), (0.0, 0.0), (0.0, 0.0)),
+            p_scale=0.0, p_noise=0.0, p_blur=0.0, p_brightness=0.0,
+            p_contrast=0.0, p_gamma=0.0, p_gamma_invert=0.0, mirror_axes=())
+        # per-slice constant volume: any in-plane rotation keeps slices constant
+        base = np.zeros((1, *shape, 1), np.float32)
+        for z in range(shape[0]):
+            base[0, z] = float(z)
+        data = jnp.asarray(base)
+        seg = jnp.zeros((1, *shape), jnp.int32)
+        x, _ = augment_batch_3d(jax.random.PRNGKey(7), data, seg, cfg)
+        x = np.asarray(x)[0, ..., 0]
+        for z in range(shape[0]):
+            interior = x[z, 4:-4, 4:-4]  # borders may sample the zero fill
+            np.testing.assert_allclose(interior, float(z), atol=1e-4)
+
+
+class TestCascadeAugment:
+    def test_onehot_shapes_and_identity(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import cascade_onehot_augment
+
+        prev = jnp.asarray(np.random.default_rng(0).integers(0, 3, (12, 12)),
+                           jnp.int32)
+        out = cascade_onehot_augment(jax.random.PRNGKey(0), prev, (1, 2),
+                                     p_binary_op=0.0)
+        assert out.shape == (12, 12, 2)
+        np.testing.assert_array_equal(np.asarray(out[..., 0]),
+                                      np.asarray(prev == 1).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(out[..., 1]),
+                                      np.asarray(prev == 2).astype(np.float32))
+
+    def test_morph_changes_mask(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import cascade_onehot_augment
+
+        prev = np.zeros((16, 16), np.int32)
+        prev[7:9, 7:9] = 1
+        prev = jnp.asarray(prev)
+        # p=1: every channel gets some random morphological op; the result must
+        # stay binary and differ from identity for at least one seed
+        changed = False
+        for seed in range(6):
+            out = np.asarray(cascade_onehot_augment(
+                jax.random.PRNGKey(seed), prev, (1,), p_binary_op=1.0)[..., 0])
+            assert set(np.unique(out)).issubset({0.0, 1.0})
+            if not np.array_equal(out, np.asarray(prev == 1, np.float32)):
+                changed = True
+        assert changed
+
+
+def test_trainer_gspmd_model_axis(tmp_path, monkeypatch):
+    """The real trainer on a ('data','model') = (4,2) CPU mesh: GSPMD batch
+    sharding + committed param shardings + batch rounding to the data axis."""
+    import jax
+
+    from dinounet_tpu.planning.plan_and_preprocess_api import (
+        extract_fingerprints,
+        plan_experiments,
+        preprocess,
+    )
+    from dinounet_tpu.run import get_trainer_from_args
+    from helpers import make_png_dataset
+
+    for sub in ("raw", "pre", "res"):
+        (tmp_path / sub).mkdir()
+    monkeypatch.setenv("nnUNet_raw", str(tmp_path / "raw"))
+    monkeypatch.setenv("nnUNet_preprocessed", str(tmp_path / "pre"))
+    monkeypatch.setenv("nnUNet_results", str(tmp_path / "res"))
+    monkeypatch.setenv("DINOUNET_TPU_MODEL_AXIS", "2")
+    monkeypatch.setenv("DINOUNET_TPU_PLATFORM", "cpu")
+
+    make_png_dataset(str(tmp_path / "raw"), "Dataset601_Gspmd", n_cases=8,
+                     size=(48, 40))
+    extract_fingerprints([601], verbose=False)
+    pid = plan_experiments([601])
+    preprocess([601], pid, ["2d"], [1], False)
+
+    trainer = get_trainer_from_args(601, "2d", 0, "nnUNetTrainer", pid)
+    trainer.num_iterations_per_epoch = 2
+    trainer.num_val_iterations_per_epoch = 1
+    trainer.num_epochs = 1
+    assert trainer.mesh.shape["model"] == 2
+    assert trainer.mesh.shape["data"] == 4
+    trainer.run_training()
+    assert np.isfinite(trainer.logger.my_fantastic_logging["train_losses"][-1])
