@@ -11,3 +11,12 @@ Reference capability surface: /root/reference (yifangao112/DinoUNet); see SURVEY
 """
 
 __version__ = "0.1.0"
+
+# Enable the on-disk XLA executable cache as early as possible: the DinoUNet
+# train step takes minutes to compile (Pallas MSDA kernels inside a large
+# differentiated graph); with the cache, every process after the first loads
+# the compiled executable from disk. Opt out: DINOUNET_TPU_COMPILE_CACHE=0.
+from dinounet_tpu.configuration import enable_persistent_compilation_cache as _epcc
+
+_epcc()
+del _epcc

@@ -53,7 +53,7 @@ def enable_persistent_compilation_cache() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         globals()["_cache_enabled"] = True
     except Exception:
         pass

@@ -224,10 +224,21 @@ class nnUNetPredictor:
         )
 
         preprocessor = self.configuration_manager.preprocessor_class(verbose=self.verbose)
-        data, _ = preprocessor.run_case_npy(
-            input_image, None, image_properties, self.plans_manager,
+        data, seg = preprocessor.run_case_npy(
+            input_image,
+            segmentation_previous_stage[None]
+            if segmentation_previous_stage is not None else None,
+            image_properties, self.plans_manager,
             self.configuration_manager, self.dataset_json,
         )
+        if segmentation_previous_stage is not None:
+            # cascade: append the preprocessed prev-stage seg as one-hot channels
+            from dinounet_tpu.utilities.label_handling import (
+                convert_labelmap_to_one_hot,
+            )
+
+            data = np.vstack((data, convert_labelmap_to_one_hot(
+                seg[0], self.label_manager.foreground_labels, data.dtype)))
         logits = self.predict_logits_from_preprocessed_data(data)
         if output_file_truncated is not None:
             export_prediction_from_logits(
@@ -274,12 +285,35 @@ class nnUNetPredictor:
         preprocessor = self.configuration_manager.preprocessor_class(
             verbose=self.verbose_preprocessing
         )
-        ret = []
-        for files, out_trunc, prev in zip(list_of_lists, output_files, seg_prev):
-            data, seg, properties = preprocessor.run_case(
+
+        # pipeline host preprocessing with device prediction: a small thread
+        # pool preprocesses cases ahead while the TPU runs the current one
+        # (replaces the reference's spawn-worker queues, data_iterators.py:17-119)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _prep(args):
+            files, prev = args
+            return preprocessor.run_case(
                 files, prev, self.plans_manager, self.configuration_manager,
                 self.dataset_json,
             )
+
+        pool = ThreadPoolExecutor(max_workers=max(1, num_processes_preprocessing))
+        futures = [pool.submit(_prep, (f, p))
+                   for f, p in zip(list_of_lists, seg_prev)]
+
+        ret = []
+        for fut, out_trunc, prev in zip(futures, output_files, seg_prev):
+            data, seg, properties = fut.result()
+            if prev is not None:
+                # cascade: previous-stage labelmap was preprocessed as the seg;
+                # feed it to the net as one-hot channels (ref data_iterators.py:37-39)
+                from dinounet_tpu.utilities.label_handling import (
+                    convert_labelmap_to_one_hot,
+                )
+
+                data = np.vstack((data, convert_labelmap_to_one_hot(
+                    seg[0], self.label_manager.foreground_labels, data.dtype)))
             logits = self.predict_logits_from_preprocessed_data(data)
             if out_trunc is not None:
                 export_prediction_from_logits(
@@ -299,6 +333,7 @@ class nnUNetPredictor:
                         return_probabilities=save_probabilities,
                     )
                 )
+        pool.shutdown(wait=False)
         return ret
 
 

@@ -55,8 +55,8 @@ class UNetDecoder(nn.Module):
             # seg heads are always constructed (checkpoint compat, ref :594-597);
             # fp32 logits for a stable loss
             seg = nn.Conv(
-                self.num_classes, (1, 1), use_bias=True, dtype=jnp.float32,
-                name=f"seg{s - 1}",
+                self.num_classes, (1,) * len(stride), use_bias=True,
+                dtype=jnp.float32, name=f"seg{s - 1}",
             )(x.astype(jnp.float32))
             seg_outputs.append(seg)
             lres = x

@@ -114,14 +114,16 @@ class StackedConvBlocks(nn.Module):
     nonlin_kwargs: Optional[dict]
     conv_bias: bool
     dtype: jnp.dtype = jnp.bfloat16
-    initial_strides: Tuple[int, int] = (1, 1)
+    initial_strides: Optional[Tuple[int, ...]] = None  # default: all-1, kernel rank
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.n_convs):
             x = ConvNormAct(
                 self.features, self.kernel_size,
-                strides=self.initial_strides if i == 0 else (1, 1),
+                strides=(self.initial_strides
+                         if i == 0 and self.initial_strides is not None
+                         else (1,) * len(self.kernel_size)),
                 norm=self.norm, norm_kwargs=self.norm_kwargs,
                 nonlin=self.nonlin, nonlin_kwargs=self.nonlin_kwargs,
                 conv_bias=self.conv_bias, dtype=self.dtype, name=f"conv{i}",

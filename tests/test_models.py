@@ -214,3 +214,40 @@ class TestCheckpointConverter:
         np.testing.assert_allclose(
             np.asarray(spliced["params"]["backbone"]["block0"]["attn"]["proj"]["kernel"]),
             sd["blocks.0.attn.proj.weight"].T, rtol=1e-6)
+
+
+class TestSwiGLUPath:
+    """The dinounet_7b backbone flavor: SwiGLU FFN, no qkv bias
+    (ref hub/backbones.py:452-494)."""
+
+    def test_forward(self):
+        from dinounet_tpu.models.vit import DinoViT, ViTConfig
+
+        cfg = ViTConfig(embed_dim=64, depth=2, num_heads=2, ffn_ratio=3.0,
+                        ffn_layer="swiglu", swiglu_align=8, qkv_bias=False,
+                        dtype="float32")
+        model = DinoViT(cfg)
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, (0, 1))
+        outs = model.apply(variables, x, (0, 1))
+        assert len(outs) == 2
+        patches, cls = outs[-1]
+        assert patches.shape == (1, 4, 64)
+        params = variables["params"]["block0"]["mlp"]
+        assert set(params.keys()) == {"w1", "w2", "w3"}
+        assert "bias" not in variables["params"]["block0"]["attn"]["qkv"]
+
+    def test_dinounet_7b_config_builds(self):
+        from dinounet_tpu.models.dinounet import (
+            DINOV3_INTERACTION_INDEXES,
+            DINOV3_MODEL_NAMES,
+            DinoUNetConfig,
+        )
+        from dinounet_tpu.models.vit import VIT_CONFIGS
+
+        cfg = DinoUNetConfig(
+            vit=VIT_CONFIGS[DINOV3_MODEL_NAMES["dinounet_7b"]],
+            interaction_indexes=DINOV3_INTERACTION_INDEXES["dinounet_7b"],
+            num_classes=2)
+        assert cfg.vit.embed_dim == 4096
+        assert cfg.interaction_indexes == (9, 19, 29, 39)

@@ -240,3 +240,37 @@ def test_trainer_gspmd_model_axis(tmp_path, monkeypatch):
     assert trainer.mesh.shape["data"] == 4
     trainer.run_training()
     assert np.isfinite(trainer.logger.my_fantastic_logging["train_losses"][-1])
+
+
+def test_trainer_3d_smoke(tmp_path, monkeypatch):
+    """3-D training path: 3d_fullres plans, volumetric loader, on-device 3-D
+    augmentation inside the train step."""
+    import jax
+
+    from dinounet_tpu.planning.plan_and_preprocess_api import (
+        extract_fingerprints,
+        plan_experiments,
+        preprocess,
+    )
+    from dinounet_tpu.run import get_trainer_from_args
+    from helpers import make_nifti_dataset
+
+    for sub in ("raw", "pre", "res"):
+        (tmp_path / sub).mkdir()
+    monkeypatch.setenv("nnUNet_raw", str(tmp_path / "raw"))
+    monkeypatch.setenv("nnUNet_preprocessed", str(tmp_path / "pre"))
+    monkeypatch.setenv("nnUNet_results", str(tmp_path / "res"))
+    monkeypatch.setenv("DINOUNET_TPU_PLATFORM", "cpu")
+
+    make_nifti_dataset(str(tmp_path / "raw"), "Dataset602_Toy3dTrain", n_cases=6,
+                       size=(20, 24, 24))
+    extract_fingerprints([602], verbose=False)
+    pid = plan_experiments([602])
+    preprocess([602], pid, ["3d_fullres"], [1], False)
+
+    trainer = get_trainer_from_args(602, "3d_fullres", 0, "nnUNetTrainer", pid)
+    trainer.num_iterations_per_epoch = 2
+    trainer.num_val_iterations_per_epoch = 1
+    trainer.num_epochs = 1
+    trainer.run_training()
+    assert np.isfinite(trainer.logger.my_fantastic_logging["train_losses"][-1])
