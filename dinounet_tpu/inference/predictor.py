@@ -203,9 +203,6 @@ class nnUNetPredictor:
             variables = self.list_of_parameters[0]
         mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else None
         patch_size = tuple(self.configuration_manager.patch_size)
-        assert len(patch_size) == 2, (
-            "3-D patch sizes not yet routed here; use the 2d configuration"
-        )
         return predict_sliding_window_return_logits(
             self._network_apply_fn(variables), np.asarray(data), patch_size,
             self.label_manager.num_segmentation_heads,

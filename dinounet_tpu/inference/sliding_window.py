@@ -87,7 +87,8 @@ def _mirror_variants_2d(mirror_axes: Optional[Tuple[int, ...]]):
 
 def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
                            num_classes: int, tile_batch: int = 8,
-                           mirror_axes: Optional[Tuple[int, ...]] = None):
+                           mirror_axes: Optional[Tuple[int, ...]] = None,
+                           use_gaussian: bool = True):
     """Builds a jitted function processing the full tile list of one padded
     volume: scan over tile batches, mirror-TTA averaged forward, gaussian
     weighting, scatter-add accumulation on device.
@@ -98,6 +99,8 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
     """
     ph, pw = patch_size
     gaussian = jnp.asarray(compute_gaussian((ph, pw)))[None, :, :, None]
+    if not use_gaussian:
+        gaussian = jnp.ones_like(gaussian)
     variants = _mirror_variants_2d(mirror_axes)
 
     @jax.jit
@@ -170,6 +173,100 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
     return predict
 
 
+def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
+                           num_classes: int, tile_batch: int = 2,
+                           mirror_axes: Optional[Tuple[int, ...]] = None,
+                           use_gaussian: bool = True):
+    """3-D analogue of make_tile_predictor_2d for volumetric networks:
+    tiles are (pd, ph, pw) blocks, mirror-TTA over up to 3 axes
+    (ref predict_from_raw_data.py:537-552 for the flip combos).
+
+    apply_fn: (B, pd, ph, pw, C_in) -> (B, pd, ph, pw, num_classes)."""
+    pd, ph, pw = patch_size
+    gaussian = jnp.asarray(compute_gaussian((pd, ph, pw)))[None, ..., None]
+    if not use_gaussian:
+        gaussian = jnp.ones_like(gaussian)
+    variants = [()]
+    if mirror_axes:
+        import itertools
+
+        axes = tuple(a + 1 for a in mirror_axes)  # (B, D, H, W, C) spatial 1..3
+        variants = [
+            c for i in range(len(axes) + 1) for c in itertools.combinations(axes, i)
+        ]
+
+    @jax.jit
+    def predict(volume, offsets):
+        Z, Y, X, C_in = volume.shape
+        n = offsets.shape[0]
+        n_pad = (-n) % tile_batch
+        offsets_p = jnp.concatenate(
+            [offsets, jnp.repeat(offsets[-1:], n_pad, axis=0)], axis=0
+        ) if n_pad else offsets
+        valid = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((n_pad,), jnp.float32)]
+        ) if n_pad else jnp.ones((n,), jnp.float32)
+        n_batches = offsets_p.shape[0] // tile_batch
+        offsets_b = offsets_p.reshape(n_batches, tile_batch, 3)
+        valid_b = valid.reshape(n_batches, tile_batch)
+
+        accum = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
+        weights = jnp.zeros((Z, Y, X, 1), jnp.float32)
+
+        def get_tile(off):
+            return jax.lax.dynamic_slice(
+                volume, (off[0], off[1], off[2], 0), (pd, ph, pw, C_in))
+
+        def body(carry, inp):
+            accum, weights = carry
+            offs, val = inp
+            tiles = jax.vmap(get_tile)(offs)  # (tb, pd, ph, pw, C_in)
+            logits = 0.0
+            for axes in variants:
+                t = tiles
+                for a in axes:
+                    t = jnp.flip(t, axis=a)
+                out = apply_fn(t)
+                for a in axes:
+                    out = jnp.flip(out, axis=a)
+                logits = logits + out.astype(jnp.float32)
+            logits = logits / len(variants)
+            weighted = logits * gaussian * val[:, None, None, None, None]
+            w_tile = jnp.broadcast_to(gaussian, (offs.shape[0], pd, ph, pw, 1)) \
+                * val[:, None, None, None, None]
+
+            def scatter(carry, xs):
+                accum, weights = carry
+                off, wl, wt = xs
+                pos = (off[0], off[1], off[2], 0)
+                cur = jax.lax.dynamic_slice(accum, pos, (pd, ph, pw, num_classes))
+                accum = jax.lax.dynamic_update_slice(accum, cur + wl, pos)
+                curw = jax.lax.dynamic_slice(weights, pos, (pd, ph, pw, 1))
+                weights = jax.lax.dynamic_update_slice(weights, curw + wt, pos)
+                return (accum, weights), None
+
+            (accum, weights), _ = jax.lax.scan(
+                scatter, (accum, weights), (offs, weighted, w_tile))
+            return (accum, weights), None
+
+        (accum, weights), _ = jax.lax.scan(body, (accum, weights),
+                                           (offsets_b, valid_b))
+        return accum, weights
+
+    return predict
+
+
+def sliding_window_offsets_3d(volume_shape_zyx: Sequence[int],
+                              patch_size: Tuple[int, int, int],
+                              tile_step_size: float = 0.5) -> np.ndarray:
+    """All (oz, oy, ox) tile origins for a 3-D network over a 3-D volume."""
+    steps = compute_steps_for_sliding_window(volume_shape_zyx, patch_size,
+                                             tile_step_size)
+    offsets = [(sz, sy, sx) for sz in steps[0] for sy in steps[1]
+               for sx in steps[2]]
+    return np.array(offsets, dtype=np.int32)
+
+
 def sliding_window_offsets_2d(volume_shape_zyx: Sequence[int],
                               patch_size: Tuple[int, int],
                               tile_step_size: float = 0.5) -> np.ndarray:
@@ -189,25 +286,39 @@ def predict_sliding_window_return_logits(
     mirror_axes: Optional[Tuple[int, ...]] = None, tile_batch: int = 8,
     use_gaussian: bool = True, verbose: bool = False,
 ) -> np.ndarray:
-    """End-to-end sliding window for a 2-D network on (C, Z, Y, X) data.
+    """End-to-end sliding window on (C, Z, Y, X) data, for 2-D networks
+    (len(patch_size)==2: per-z-slice xy tile grid) and 3-D networks
+    (len(patch_size)==3: volumetric tile grid).
 
     Returns logits (num_classes, Z, Y, X) on host, matching the reference's
     output contract (ref predict_from_raw_data.py:680-776).
     """
     assert data.ndim == 4, "data must be (C, Z, Y, X); 2-D inputs as (C, 1, Y, X)"
     C, Z, Y, X = data.shape
-    padded, revert = pad_nd_image(data, (Z, max(Y, patch_size[0]), max(X, patch_size[1])))
+    if len(patch_size) == 2:
+        target = (Z, max(Y, patch_size[0]), max(X, patch_size[1]))
+    else:
+        target = (max(Z, patch_size[0]), max(Y, patch_size[1]),
+                  max(X, patch_size[2]))
+    padded, revert = pad_nd_image(data, target)
     _, Zp, Yp, Xp = padded.shape
 
-    offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
     volume = jnp.asarray(np.moveaxis(padded, 0, -1))  # (Z, Y, X, C)
-
-    predictor = make_tile_predictor_2d(
-        apply_fn, patch_size, num_classes, tile_batch=tile_batch,
-        mirror_axes=mirror_axes,
-    )
+    if len(patch_size) == 2:
+        offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
+        predictor = make_tile_predictor_2d(
+            apply_fn, patch_size, num_classes, tile_batch=tile_batch,
+            mirror_axes=mirror_axes, use_gaussian=use_gaussian,
+        )
+    else:
+        offsets = sliding_window_offsets_3d((Zp, Yp, Xp), patch_size, tile_step_size)
+        predictor = make_tile_predictor_3d(
+            apply_fn, patch_size, num_classes,
+            tile_batch=max(1, tile_batch // 4),
+            mirror_axes=mirror_axes, use_gaussian=use_gaussian,
+        )
     accum, weights = predictor(volume, jnp.asarray(offsets))
-    logits = (accum / weights) if use_gaussian else accum
+    logits = accum / weights
     logits = np.asarray(logits)
     if not np.all(np.isfinite(logits)):
         raise RuntimeError(

@@ -9,10 +9,12 @@ BatchNorm under pjit/GSPMD normalizes over the logically-global batch, so the
 reference's SyncBatchNorm (ref: dinov3_adapter.py:361-364) comes for free.
 """
 
+import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # kaiming_normal with fan_out/relu gain, matching the reference's conv init
@@ -189,13 +191,49 @@ class TransposedConv(nn.Module):
         )(x)
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(src: int, dst: int):
+    """The jax.image.resize('linear') operator along one axis as a dense
+    (dst, src) numpy matrix (pure numpy: safe to call during tracing).
+
+    Matches jax.image.resize semantics: half-pixel centers, edge clamping via
+    weight renormalization, triangle-kernel anti-aliasing when downscaling.
+    Sizes are static under jit, so resizes become two small matmuls on the
+    MXU instead of the gather-based lowering.
+    """
+    scale = src / dst
+    kernel_scale = max(scale, 1.0)  # anti-alias when downscaling
+    out = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        center = (i + 0.5) * scale - 0.5
+        lo = int(np.floor(center - kernel_scale))
+        hi = int(np.ceil(center + kernel_scale))
+        js = np.arange(lo, hi + 1)
+        w = np.maximum(0.0, 1.0 - np.abs(js - center) / kernel_scale)
+        valid = (js >= 0) & (js < src)
+        total = w.sum()
+        if total > 0:
+            np.add.at(out[i], np.clip(js[valid], 0, src - 1), w[valid] / total)
+            # edge handling: weights of out-of-range taps are dropped and the
+            # remainder renormalized (jax.image.resize behavior)
+            kept = out[i].sum()
+            if kept > 0:
+                out[i] /= kept
+    return out
+
+
 def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize NHWC, matching F.interpolate(align_corners=False)."""
+    """Bilinear resize NHWC, matching F.interpolate(align_corners=False)
+    (incl. jax.image.resize's anti-aliased downscaling), as two matmuls."""
     B, H, W, C = x.shape
-    out = jax.image.resize(
-        x.astype(jnp.float32), (B, size[0], size[1], C), method="linear"
-    )
-    return out.astype(x.dtype)
+    if (H, W) == tuple(size):
+        return x
+    y = x.astype(jnp.float32)
+    if size[0] != H:
+        y = jnp.einsum("hH,bHwc->bhwc", _resize_matrix(H, size[0]), y)
+    if size[1] != W:
+        y = jnp.einsum("wW,bhWc->bhwc", _resize_matrix(W, size[1]), y)
+    return y.astype(x.dtype)
 
 
 class LearnableUpsample(nn.Module):

@@ -1,0 +1,98 @@
+"""Sliding-window assembly tests (SURVEY.md §4c): the batched tile predictor
+must reproduce a dense forward when the per-tile function is consistent.
+
+The identity function (logits = input channels) is flip-equivariant, so with
+any tile grid, Gaussian weighting, and mirror TTA, the assembled logits must
+equal the input exactly (weighted average of agreeing values).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinounet_tpu.inference.sliding_window import (
+    compute_gaussian,
+    compute_steps_for_sliding_window,
+    predict_sliding_window_return_logits,
+)
+
+
+def _identity_apply(x):
+    return x.astype(jnp.float32)
+
+
+class TestSteps:
+    def test_full_coverage_and_bounds(self):
+        steps = compute_steps_for_sliding_window((100, 73), (32, 32), 0.5)
+        for dim, (size, patch) in zip(steps, ((100, 32), (73, 32))):
+            assert dim[0] == 0
+            assert dim[-1] == size - patch
+        # neighboring steps overlap (step <= patch)
+        for dim in steps:
+            diffs = np.diff(dim)
+            assert np.all(diffs <= 32)
+
+    def test_exact_fit_single_step(self):
+        steps = compute_steps_for_sliding_window((32, 32), (32, 32), 0.5)
+        assert steps == [[0], [0]]
+
+
+class TestGaussian:
+    def test_shape_peak_positive(self):
+        g = compute_gaussian((16, 24))
+        assert g.shape == (16, 24)
+        assert g.max() == pytest.approx(10.0, rel=1e-2)
+        assert g.min() > 0
+
+    def test_3d(self):
+        g = compute_gaussian((8, 16, 16))
+        assert g.shape == (8, 16, 16)
+        assert np.unravel_index(g.argmax(), g.shape) == (4, 8, 8)
+
+
+class TestAssembly2D:
+    def test_identity_roundtrip(self, rng):
+        data = rng.standard_normal((3, 2, 70, 90)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (32, 32), num_classes=3,
+            tile_step_size=0.5, mirror_axes=None, tile_batch=4)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+    def test_identity_with_tta(self, rng):
+        data = rng.standard_normal((2, 1, 48, 40)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (32, 32), num_classes=2,
+            tile_step_size=0.5, mirror_axes=(0, 1), tile_batch=3)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+    def test_no_gaussian_uniform_average(self, rng):
+        data = rng.standard_normal((1, 1, 60, 60)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (32, 32), num_classes=1,
+            tile_step_size=0.5, use_gaussian=False, tile_batch=2)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+    def test_pad_and_revert_small_volume(self, rng):
+        # volume smaller than the patch: padded up, then cropped back
+        data = rng.standard_normal((1, 1, 20, 25)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (32, 32), num_classes=1, tile_batch=1)
+        assert out.shape == data.shape
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+
+class TestAssembly3D:
+    def test_identity_roundtrip(self, rng):
+        data = rng.standard_normal((2, 20, 36, 28)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (16, 16, 16), num_classes=2,
+            tile_step_size=0.5, mirror_axes=None, tile_batch=4)
+        assert out.shape == data.shape
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+    def test_identity_with_tta_3d(self, rng):
+        data = rng.standard_normal((1, 18, 20, 22)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (16, 16, 16), num_classes=1,
+            tile_step_size=0.5, mirror_axes=(0, 1, 2), tile_batch=2)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)

@@ -274,3 +274,7 @@ def test_trainer_3d_smoke(tmp_path, monkeypatch):
     trainer.num_epochs = 1
     trainer.run_training()
     assert np.isfinite(trainer.logger.my_fantastic_logging["train_losses"][-1])
+
+    # full validation drives the 3-D sliding-window inference + export chain
+    metrics = trainer.perform_actual_validation()
+    assert metrics is not None and np.isfinite(metrics["foreground_mean"]["Dice"])
