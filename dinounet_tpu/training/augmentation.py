@@ -513,7 +513,8 @@ def cascade_onehot_augment(key, prev_labelmap: jnp.ndarray,
         axis=-1)
     nd = prev_labelmap.ndim  # spatial rank (per-sample call) or with batch dim
     F = len(foreground_labels)
-    keys = jax.random.split(key, 3 * F).reshape(F, 3, 2)
+    keys = jax.random.split(key, 3 * F)
+    keys = keys.reshape(F, 3, *keys.shape[1:])  # raw (2,)-uint32 or typed keys
 
     def _pool(x, radius_choice, is_max):
         outs = [x]

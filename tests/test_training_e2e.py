@@ -278,3 +278,83 @@ def test_trainer_3d_smoke(tmp_path, monkeypatch):
     # full validation drives the 3-D sliding-window inference + export chain
     metrics = trainer.perform_actual_validation()
     assert metrics is not None and np.isfinite(metrics["foreground_mean"]["Dice"])
+
+
+def test_cascade_end_to_end(tmp_path, monkeypatch):
+    """Full cascade chain (ref nnU-Net 3d_lowres -> 3d_cascade_fullres):
+    train the lowres stage, export next-stage predictions during its
+    validation, then train + validate the cascade stage consuming them as
+    one-hot input channels."""
+    import jax
+
+    from dinounet_tpu.planning.plan_and_preprocess_api import (
+        extract_fingerprints,
+        plan_experiments,
+        preprocess,
+    )
+    from dinounet_tpu.run import get_trainer_from_args
+    from dinounet_tpu.utilities.json_export import load_json, save_json
+    from helpers import make_nifti_dataset
+
+    for sub in ("raw", "pre", "res"):
+        (tmp_path / sub).mkdir()
+    monkeypatch.setenv("nnUNet_raw", str(tmp_path / "raw"))
+    monkeypatch.setenv("nnUNet_preprocessed", str(tmp_path / "pre"))
+    monkeypatch.setenv("nnUNet_results", str(tmp_path / "res"))
+    monkeypatch.setenv("DINOUNET_TPU_PLATFORM", "cpu")
+
+    make_nifti_dataset(str(tmp_path / "raw"), "Dataset603_Casc", n_cases=6,
+                       size=(20, 24, 24))
+    extract_fingerprints([603], verbose=False)
+    pid = plan_experiments([603])
+
+    # The toy volume is too small for the planner to emit a lowres stage on
+    # its own; wire the cascade pair by hand (same mechanism, tiny shapes).
+    plans_file = tmp_path / "pre" / "Dataset603_Casc" / f"{pid}.json"
+    plans = load_json(str(plans_file))
+    plans["configurations"]["3d_lowres"] = dict(
+        plans["configurations"]["3d_fullres"],
+        next_stage="3d_cascade_fullres",
+    )
+    plans["configurations"]["3d_cascade_fullres"] = {
+        "inherits_from": "3d_fullres",
+        "previous_stage": "3d_lowres",
+    }
+    save_json(plans, str(plans_file))
+    preprocess([603], pid, ["3d_fullres", "3d_lowres"], [1, 1], False)
+
+    def short(trainer):
+        trainer.num_iterations_per_epoch = 2
+        trainer.num_val_iterations_per_epoch = 1
+        trainer.num_epochs = 1
+        return trainer
+
+    # stage 1: lowres; validation exports predicted_next_stage/<cascade>
+    tr1 = short(get_trainer_from_args(603, "3d_lowres", 0, "nnUNetTrainer", pid))
+    tr1.run_training()
+    tr1.perform_actual_validation()
+    next_stage_dir = os.path.join(tr1.output_folder_base, "predicted_next_stage",
+                                  "3d_cascade_fullres")
+    assert os.path.isdir(next_stage_dir)
+    exported = [f for f in os.listdir(next_stage_dir) if f.endswith(".npz")]
+    assert exported, "lowres validation must export next-stage predictions"
+
+    # the cascade trainer reads prev-stage predictions for ALL its cases; the
+    # lowres stage only validated fold-0's val split, so fill in the rest by
+    # copying (content is irrelevant for the mechanism test)
+    tr2 = short(get_trainer_from_args(603, "3d_cascade_fullres", 0,
+                                      "nnUNetTrainer", pid))
+    import shutil
+
+    all_cases = [f[:-4] for f in os.listdir(
+        tr2.preprocessed_dataset_folder) if f.endswith(".npz")]
+    for c in all_cases:
+        dst = os.path.join(next_stage_dir, c + ".npz")
+        if not os.path.isfile(dst):
+            shutil.copy(os.path.join(next_stage_dir, exported[0]), dst)
+
+    assert tr2.is_cascaded
+    assert tr2.folder_with_segs_from_previous_stage == next_stage_dir
+    tr2.run_training()
+    metrics = tr2.perform_actual_validation()
+    assert metrics is not None and np.isfinite(metrics["foreground_mean"]["Dice"])
