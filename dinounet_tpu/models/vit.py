@@ -135,19 +135,15 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, M, Dh)
 
         if rope is not None:
+            # sin/cos are [N, Dh] with identity rows for the prefix tokens;
+            # rope in fp32 (ref attention.py:66-85 uses the rope dtype, fp32
+            # for the published checkpoints), applied over the whole sequence
+            # in (B, N, M, Dh) layout — no slicing, concat, or transposes
             sin, cos = rope
-            p = cfg.n_prefix_tokens
-            # rope in fp32 (ref attention.py:66-85 uses the rope dtype, fp32 for
-            # the published checkpoints), cast back to compute dtype; applied
-            # in (B, hw, M, Dh) layout directly — no head transposes
-            sin_b = sin[:, None, :]  # (hw, 1, Dh)
+            sin_b = sin[:, None, :]  # (N, 1, Dh)
             cos_b = cos[:, None, :]
-
-            def _ap(t):
-                tp = rope_apply(t[:, p:].astype(jnp.float32), sin_b, cos_b)
-                return jnp.concatenate([t[:, :p], tp.astype(t.dtype)], axis=1)
-            q = _ap(q)
-            k = _ap(k)
+            q = rope_apply(q.astype(jnp.float32), sin_b, cos_b).astype(q.dtype)
+            k = rope_apply(k.astype(jnp.float32), sin_b, cos_b).astype(k.dtype)
 
         # SDPA with bf16 score/prob matrices + fp32 softmax: the N^2 matrices
         # are HBM-bandwidth-bound at this sequence length, and keeping them in
@@ -251,6 +247,13 @@ class DinoViT(nn.Module):
         )
 
         sin, cos = rope_sincos(h, w, cfg.head_dim, cfg.rope_base)
+        # pad identity rows (sin 0, cos 1) for the cls/storage prefix tokens:
+        # rope then applies to the whole sequence with no per-block
+        # slice/concat (exactly equivalent to skipping the prefix,
+        # ref attention.py:66-85)
+        np_ = cfg.n_prefix_tokens
+        sin = jnp.concatenate([jnp.zeros((np_, sin.shape[1]), sin.dtype), sin])
+        cos = jnp.concatenate([jnp.ones((np_, cos.shape[1]), cos.dtype), cos])
         final_norm = LayerNormFp32(cfg.norm_eps, name="norm")
 
         take = set(int(i) for i in take_indices)

@@ -557,10 +557,24 @@ class nnUNetTrainer:
             self.print_to_log_file(f"\nEpoch {epoch}")
             self.print_to_log_file(f"Current learning rate: {round(self.current_lr(), 5)}")
 
+            # optional profiler capture of a slice of epoch 0 (the reference
+            # has no profiler on this path, SURVEY.md §5; this is the
+            # TPU-native equivalent: a jax.profiler trace viewable in
+            # TensorBoard/Perfetto). Enable with DINOUNET_TPU_PROFILE_DIR.
+            profile_dir = os.environ.get("DINOUNET_TPU_PROFILE_DIR")
+            do_profile = profile_dir and epoch == self.current_epoch
+
             train_losses = []
-            for _ in range(self.num_iterations_per_epoch):
+            for it in range(self.num_iterations_per_epoch):
+                if do_profile and it == min(10, self.num_iterations_per_epoch - 1):
+                    jax.profiler.start_trace(profile_dir)
                 batch = self.dataloader_train.generate_train_batch()
                 train_losses.append(self.train_step_host(batch))
+                if do_profile and it == min(14, self.num_iterations_per_epoch - 1):
+                    jax.device_get(train_losses[-1])  # drain before stopping
+                    jax.profiler.stop_trace()
+                    do_profile = False
+                    self.print_to_log_file(f"profiler trace written to {profile_dir}")
             train_loss = float(np.mean([jax.device_get(l) for l in train_losses]))
             self.logger.log("train_losses", train_loss, epoch)
 

@@ -109,3 +109,53 @@ def test_batch_sharding_shards_batch_dim(cpu8):
     # 4-way data axis: each shard holds 2 of the 8 batch elements
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert shard_shapes == {(2, 4, 4, 1)}
+
+
+class TestDinoUNet7BSpecs:
+    """Sharding specs against the REAL dinounet_7b parameter tree (shapes only
+    via eval_shape — no 7B memory needed)."""
+
+    def test_specs_divisible_on_8way_model_axis(self):
+        import jax
+
+        from dinounet_tpu.models.dinounet import (
+            DINOV3_INTERACTION_INDEXES,
+            DINOV3_MODEL_NAMES,
+            DinoUNet,
+            DinoUNetConfig,
+        )
+        from dinounet_tpu.models.vit import VIT_CONFIGS
+        from dinounet_tpu.parallel.sharding import MODEL_AXIS, param_spec_tree
+
+        cfg = DinoUNetConfig(
+            vit=VIT_CONFIGS[DINOV3_MODEL_NAMES["dinounet_7b"]],
+            interaction_indexes=DINOV3_INTERACTION_INDEXES["dinounet_7b"],
+            num_classes=3)
+        model = DinoUNet(cfg)
+        x = jax.ShapeDtypeStruct((1, 512, 512, 1), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda k, x: model.init(k, x, train=False),
+            jax.random.PRNGKey(0), x)
+        params = shapes["params"]
+        specs = param_spec_tree(params)
+
+        n_model = 8
+        n_sharded = 0
+        flat_p = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]:
+            leaf = flat_p[path]
+            for dim, axis_name in enumerate(spec):
+                if axis_name == MODEL_AXIS:
+                    assert leaf.shape[dim] % n_model == 0, (path, leaf.shape)
+                    n_sharded += 1
+        # every one of the 40 blocks shards qkv(k+b), proj(k), w1(k+b),
+        # w2(k+b), w3(k) -- qkv has no bias on 7B
+        assert n_sharded == 40 * 7, n_sharded
+
+        # the sharded fraction covers the bulk of the 7B weights
+        total = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
+        sharded = 0
+        for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]:
+            if any(a == MODEL_AXIS for a in spec):
+                sharded += int(np.prod(flat_p[path].shape))
+        assert sharded / total > 0.85, sharded / total
