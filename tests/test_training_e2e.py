@@ -358,3 +358,47 @@ def test_cascade_end_to_end(tmp_path, monkeypatch):
     tr2.run_training()
     metrics = tr2.perform_actual_validation()
     assert metrics is not None and np.isfinite(metrics["foreground_mean"]["Dice"])
+
+
+def test_predictor_from_trained_folder(nnunet_env):
+    """nnUNetPredictor restored from a results folder: fold ensembling over
+    two trained folds, predict_from_files on raw images, num_parts sharding,
+    and overwrite skipping (ref predict_from_raw_data.py:67-427)."""
+    from dinounet_tpu.inference.predictor import nnUNetPredictor
+    from dinounet_tpu.run import get_trainer_from_args
+
+    make_png_dataset(str(nnunet_env / "raw"), n_cases=6, size=(72, 64))
+    plans_identifier, _ = plan_and_preprocess(
+        501, configurations=["2d"], num_processes=[1], verbose=False,
+    )
+    for fold in (0, 1):
+        tr = get_trainer_from_args(501, "2d", fold, "nnUNetTrainer", plans_identifier)
+        tr.num_epochs = 1
+        tr.num_iterations_per_epoch = 1
+        tr.num_val_iterations_per_epoch = 1
+        tr.run_training()
+    model_folder = tr.output_folder_base
+
+    predictor = nnUNetPredictor(tile_step_size=0.5, use_mirroring=True)
+    predictor.initialize_from_trained_model_folder(
+        model_folder, use_folds=None, checkpoint_name="checkpoint_final.pth")
+    # auto-detected both folds -> logits averaged over 2 checkpoints
+    assert len(predictor.list_of_parameters) == 2
+
+    in_folder = str(nnunet_env / "raw" / "Dataset501_Toy2d" / "imagesTr")
+    out_folder = str(nnunet_env / "preds")
+    predictor.predict_from_files(in_folder, out_folder)
+    preds = sorted(f for f in os.listdir(out_folder) if f.endswith(".png"))
+    assert len(preds) == 6
+    assert os.path.isfile(os.path.join(out_folder, "dataset.json"))
+    assert os.path.isfile(os.path.join(out_folder, "plans.json"))
+
+    # num_parts sharding: part 0 of 2 handles half the work
+    out2 = str(nnunet_env / "preds_part0")
+    predictor.predict_from_files(in_folder, out2, num_parts=2, part_id=0)
+    part_preds = [f for f in os.listdir(out2) if f.endswith(".png")]
+    assert len(part_preds) == 3
+
+    # overwrite=False skips everything already predicted
+    ret = predictor.predict_from_files(in_folder, out_folder, overwrite=False)
+    assert ret == []
