@@ -81,14 +81,32 @@ def convert_dinov3_state_dict(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict
     return params
 
 
+def _torch_to_numpy(t):
+    """torch tensor -> numpy, keeping bf16 as ml_dtypes.bfloat16 (no fp32
+    blow-up: the 7B checkpoint stays ~14 GB instead of ~28 GB through the
+    conversion — SURVEY.md §7 hard part 7)."""
+    import torch
+
+    if t.dtype == torch.bfloat16:
+        import ml_dtypes
+
+        return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    return t.numpy()
+
+
 def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str) -> None:
     """Convert a published DINOv3 .pth into our msgpack backbone params.
     model_name: dinov3_vits16 | dinov3_vitb16 | dinov3_vitl16 | dinov3_vit7b16."""
     import torch
 
     cfg = VIT_CONFIGS[model_name]
-    state_dict = torch.load(pth_path, map_location="cpu", weights_only=True)
-    sd = {k: v.float().numpy() for k, v in state_dict.items()}
+    # mmap keeps tensor data on disk until each is touched (7B-friendly)
+    try:
+        state_dict = torch.load(pth_path, map_location="cpu", weights_only=True,
+                                mmap=True)
+    except (TypeError, RuntimeError):
+        state_dict = torch.load(pth_path, map_location="cpu", weights_only=True)
+    sd = {k: _torch_to_numpy(v) for k, v in state_dict.items()}
     params = convert_dinov3_state_dict(sd, cfg)
     save_backbone_params(params, out_path)
 

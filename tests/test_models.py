@@ -251,3 +251,55 @@ class TestSwiGLUPath:
             num_classes=2)
         assert cfg.vit.embed_dim == 4096
         assert cfg.interaction_indexes == (9, 19, 29, 39)
+
+
+def test_converter_bf16_checkpoint(tmp_path):
+    """A torch bf16 .pth converts without fp32 blow-up: params stay bf16 in
+    the msgpack and match the source bit-exactly."""
+    import os
+
+    import numpy as np
+    import torch
+
+    from dinounet_tpu.models.convert import (
+        convert_torch_checkpoint,
+        load_backbone_params,
+    )
+    from dinounet_tpu.models.vit import VIT_CONFIGS
+
+    cfg = VIT_CONFIGS["dinov3_vits16"]
+    E, p, H = cfg.embed_dim, cfg.patch_size, cfg.ffn_hidden
+    g = torch.Generator().manual_seed(0)
+
+    def bf(*shape):
+        return torch.randn(*shape, generator=g).bfloat16()
+
+    sd = {
+        "patch_embed.proj.weight": bf(E, 3, p, p),
+        "patch_embed.proj.bias": bf(E),
+        "cls_token": bf(1, 1, E),
+        "storage_tokens": bf(1, 4, E),
+        "norm.weight": bf(E),
+        "norm.bias": bf(E),
+    }
+    for i in range(cfg.depth):
+        pf = f"blocks.{i}."
+        sd.update({
+            pf + "norm1.weight": bf(E), pf + "norm1.bias": bf(E),
+            pf + "norm2.weight": bf(E), pf + "norm2.bias": bf(E),
+            pf + "attn.qkv.weight": bf(3 * E, E), pf + "attn.qkv.bias": bf(3 * E),
+            pf + "attn.proj.weight": bf(E, E), pf + "attn.proj.bias": bf(E),
+            pf + "ls1.gamma": bf(E), pf + "ls2.gamma": bf(E),
+            pf + "mlp.fc1.weight": bf(H, E), pf + "mlp.fc1.bias": bf(H),
+            pf + "mlp.fc2.weight": bf(E, H), pf + "mlp.fc2.bias": bf(E),
+        })
+    pth = os.path.join(tmp_path, "ckpt.pth")
+    torch.save(sd, pth)
+    out = os.path.join(tmp_path, "backbone.msgpack")
+    convert_torch_checkpoint(pth, "dinov3_vits16", out)
+
+    params = load_backbone_params(out)
+    k = params["block0"]["attn"]["qkv"]["kernel"]
+    assert str(k.dtype) == "bfloat16"
+    ref = sd["blocks.0.attn.qkv.weight"].float().numpy().T
+    np.testing.assert_array_equal(ref, np.asarray(k, np.float32))
