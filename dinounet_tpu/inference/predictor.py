@@ -203,13 +203,34 @@ class nnUNetPredictor:
             variables = self.list_of_parameters[0]
         mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else None
         patch_size = tuple(self.configuration_manager.patch_size)
+        mesh = self._inference_mesh()
+        tile_batch = self.tile_batch
+        if mesh is not None:
+            # keep per-device tile count constant: scale the batch to the mesh
+            n_data = mesh.shape["data"]
+            tile_batch = -(-tile_batch // n_data) * n_data
         return predict_sliding_window_return_logits(
             self._network_apply_fn(variables), np.asarray(data), patch_size,
             self.label_manager.num_segmentation_heads,
             tile_step_size=self.tile_step_size, mirror_axes=mirror_axes,
-            tile_batch=self.tile_batch, use_gaussian=self.use_gaussian,
-            verbose=self.verbose,
+            tile_batch=tile_batch, use_gaussian=self.use_gaussian,
+            verbose=self.verbose, mesh=mesh,
         )
+
+    def _inference_mesh(self):
+        """('data','model') mesh over the local devices when more than one is
+        attached: tile batches shard over 'data' so the sliding window scales
+        to multi-chip serving (the reference has no multi-GPU inference beyond
+        part-sharding whole cases, SURVEY.md §2.10)."""
+        import jax
+
+        from dinounet_tpu.parallel import make_mesh
+
+        platform = os.environ.get("DINOUNET_TPU_PLATFORM")
+        devices = jax.devices(platform) if platform else jax.devices()
+        if len(devices) <= 1:
+            return None
+        return make_mesh(n_model=1, devices=devices)
 
     def predict_single_npy_array(self, input_image: np.ndarray, image_properties: dict,
                                  segmentation_previous_stage: np.ndarray = None,

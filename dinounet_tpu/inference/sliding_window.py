@@ -88,7 +88,7 @@ def _mirror_variants_2d(mirror_axes: Optional[Tuple[int, ...]]):
 def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
                            num_classes: int, tile_batch: int = 8,
                            mirror_axes: Optional[Tuple[int, ...]] = None,
-                           use_gaussian: bool = True):
+                           use_gaussian: bool = True, mesh=None):
     """Builds a jitted function processing the full tile list of one padded
     volume: scan over tile batches, mirror-TTA averaged forward, gaussian
     weighting, scatter-add accumulation on device.
@@ -132,6 +132,11 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
             accum, weights = carry
             offs, val = inp
             tiles = jax.vmap(get_tile)(offs)  # (tb, ph, pw, C_in)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, PartitionSpec("data")))
             logits = 0.0
             for axes in variants:
                 t = tiles
@@ -176,7 +181,7 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
 def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
                            num_classes: int, tile_batch: int = 2,
                            mirror_axes: Optional[Tuple[int, ...]] = None,
-                           use_gaussian: bool = True):
+                           use_gaussian: bool = True, mesh=None):
     """3-D analogue of make_tile_predictor_2d for volumetric networks:
     tiles are (pd, ph, pw) blocks, mirror-TTA over up to 3 axes
     (ref predict_from_raw_data.py:537-552 for the flip combos).
@@ -221,6 +226,11 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
             accum, weights = carry
             offs, val = inp
             tiles = jax.vmap(get_tile)(offs)  # (tb, pd, ph, pw, C_in)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, PartitionSpec("data")))
             logits = 0.0
             for axes in variants:
                 t = tiles
@@ -284,7 +294,7 @@ def predict_sliding_window_return_logits(
     apply_fn: Callable, data: np.ndarray, patch_size: Tuple[int, int],
     num_classes: int, tile_step_size: float = 0.5,
     mirror_axes: Optional[Tuple[int, ...]] = None, tile_batch: int = 8,
-    use_gaussian: bool = True, verbose: bool = False,
+    use_gaussian: bool = True, verbose: bool = False, mesh=None,
 ) -> np.ndarray:
     """End-to-end sliding window on (C, Z, Y, X) data, for 2-D networks
     (len(patch_size)==2: per-z-slice xy tile grid) and 3-D networks
@@ -308,14 +318,14 @@ def predict_sliding_window_return_logits(
         offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
         predictor = make_tile_predictor_2d(
             apply_fn, patch_size, num_classes, tile_batch=tile_batch,
-            mirror_axes=mirror_axes, use_gaussian=use_gaussian,
+            mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh,
         )
     else:
         offsets = sliding_window_offsets_3d((Zp, Yp, Xp), patch_size, tile_step_size)
         predictor = make_tile_predictor_3d(
             apply_fn, patch_size, num_classes,
             tile_batch=max(1, tile_batch // 4),
-            mirror_axes=mirror_axes, use_gaussian=use_gaussian,
+            mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh,
         )
     accum, weights = predictor(volume, jnp.asarray(offsets))
     logits = accum / weights

@@ -159,3 +159,34 @@ class TestDinoUNet7BSpecs:
             if any(a == MODEL_AXIS for a in spec):
                 sharded += int(np.prod(flat_p[path].shape))
         assert sharded / total > 0.85, sharded / total
+
+
+def test_batch_dice_global_under_gspmd(cpu8):
+    """The reference needs AllGatherGrad to make batch-dice global under DDP
+    (ref utilities/ddp_allgather.py:25-48, training/loss/dice.py:36-38); under
+    GSPMD the jitted loss over a sharded batch must equal the single-device
+    value (and so must its gradient)."""
+    from dinounet_tpu.training.losses import dc_and_ce_loss
+
+    rng = np.random.default_rng(0)
+    B = 8
+    logits = jnp.asarray(rng.standard_normal((B, 8, 8, 3)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, 3, (B, 8, 8)), jnp.int32)
+
+    def loss(lg, sg):
+        return dc_and_ce_loss(lg, sg, batch_dice=True)
+
+    # single device reference (value + grad)
+    ref = float(loss(logits, seg))
+    ref_grad = jax.grad(loss)(logits, seg)
+
+    mesh = make_mesh(n_model=1, devices=cpu8)
+    sh = batch_sharding(mesh)
+    lg_s = jax.device_put(logits, sh)
+    sg_s = jax.device_put(seg, sh)
+    with mesh:
+        got = float(jax.jit(loss)(lg_s, sg_s))
+        got_grad = jax.jit(jax.grad(loss))(lg_s, sg_s)
+    assert got == pytest.approx(ref, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(got_grad), np.asarray(ref_grad),
+                               rtol=1e-5, atol=1e-6)

@@ -96,3 +96,22 @@ class TestAssembly3D:
             _identity_apply, data, (16, 16, 16), num_classes=1,
             tile_step_size=0.5, mirror_axes=(0, 1, 2), tile_batch=2)
         np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+
+def test_mesh_sharded_assembly_matches_single_device(rng):
+    """Multi-chip inference: tile batches sharded over an 8-way data axis must
+    reproduce the single-device result exactly."""
+    import jax
+
+    from dinounet_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_model=1, devices=jax.devices("cpu")[:8])
+    data = rng.standard_normal((2, 2, 70, 90)).astype(np.float32)
+    single = predict_sliding_window_return_logits(
+        _identity_apply, data, (32, 32), num_classes=2, tile_batch=8)
+    with mesh:
+        sharded = predict_sliding_window_return_logits(
+            _identity_apply, data, (32, 32), num_classes=2, tile_batch=8,
+            mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sharded, data, rtol=1e-4, atol=1e-4)
