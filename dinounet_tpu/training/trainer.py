@@ -377,10 +377,27 @@ class nnUNetTrainer:
 
     # ------------------------------------------------------------- loss/steps
 
+    def _seg_to_region_onehot(self, seg):
+        """Labelmap -> per-region binary channels (+ trailing ignore channel),
+        the reference's ConvertSegmentationToRegionsTransform
+        (ref region_based_training.py:7, wired at nnUNetTrainer.py:788-796)."""
+        lm = self.label_manager
+        channels = []
+        for region in lm.all_regions:
+            labels = region if isinstance(region, (list, tuple)) else (region,)
+            mask = jnp.zeros(seg.shape, jnp.bool_)
+            for l in labels:
+                mask = mask | (seg == l)
+            channels.append(mask)
+        if lm.has_ignore_label:
+            channels.append(seg == lm.ignore_label)
+        return jnp.stack(channels, axis=-1).astype(jnp.float32)
+
     def _loss_fn(self, logits, target):
         if self.label_manager.has_regions:
             return dc_and_bce_loss(
-                logits, target, batch_dice=self.configuration_manager.batch_dice,
+                logits, self._seg_to_region_onehot(target),
+                batch_dice=self.configuration_manager.batch_dice,
                 use_ignore_label=self.label_manager.has_ignore_label,
             )
         return dc_and_ce_loss(
@@ -396,6 +413,7 @@ class nnUNetTrainer:
         loss_fn_outer = self._loss_fn
         num_classes = self.label_manager.num_segmentation_heads
         has_ignore = self.label_manager.has_ignore_label
+        has_regions = self.label_manager.has_regions
         ignore_label = self.label_manager.ignore_label
 
         is_cascaded = self.is_cascaded
@@ -464,6 +482,21 @@ class nnUNetTrainer:
                 out = out[0]
             loss = loss_fn_outer(out, seg)
             # hard pseudo-Dice counts (ref :946-1008)
+            axes = (0,) + tuple(range(1, out.ndim - 1))
+            if has_regions:
+                # region branch: sigmoid > 0.5 per region channel (ref :963-979)
+                target = self._seg_to_region_onehot(seg)
+                if has_ignore:
+                    mask = 1.0 - target[..., -1:]
+                    target = target[..., :-1]
+                else:
+                    mask = 1.0
+                pred = (jax.nn.sigmoid(out.astype(jnp.float32)) > 0.5).astype(
+                    jnp.float32)
+                tp = (pred * target * mask).sum(axes)
+                fp = (pred * (1 - target) * mask).sum(axes)
+                fn = ((1 - pred) * target * mask).sum(axes)
+                return loss, tp, fp, fn
             if has_ignore:
                 mask = (seg != ignore_label)[..., None].astype(jnp.float32)
                 seg_eval = jnp.where(seg == ignore_label, 0, seg)
@@ -471,7 +504,6 @@ class nnUNetTrainer:
                 mask = None
                 seg_eval = seg
             pred_onehot = jax.nn.one_hot(out.argmax(-1), num_classes)
-            axes = (0,) + tuple(range(1, out.ndim - 1))
             tp = (pred_onehot * jax.nn.one_hot(seg_eval, num_classes)
                   * (mask if mask is not None else 1.0)).sum(axes)
             fp = (pred_onehot * (1 - jax.nn.one_hot(seg_eval, num_classes))

@@ -402,3 +402,54 @@ def test_predictor_from_trained_folder(nnunet_env):
     # overwrite=False skips everything already predicted
     ret = predictor.predict_from_files(in_folder, out_folder, overwrite=False)
     assert ret == []
+
+
+def test_region_based_training(tmp_path, monkeypatch):
+    """Region-based training (overlapping targets + sigmoid/BCE, ref
+    nnUNetTrainer region branch :963-1008 and ConvertSegmentationToRegions):
+    labels declared as regions train and validate end-to-end."""
+    import jax
+
+    from dinounet_tpu.planning.plan_and_preprocess_api import (
+        extract_fingerprints,
+        plan_experiments,
+        preprocess,
+    )
+    from dinounet_tpu.run import get_trainer_from_args
+    from dinounet_tpu.utilities.json_export import load_json, save_json
+    from helpers import make_png_dataset
+
+    for sub in ("raw", "pre", "res"):
+        (tmp_path / sub).mkdir()
+    monkeypatch.setenv("nnUNet_raw", str(tmp_path / "raw"))
+    monkeypatch.setenv("nnUNet_preprocessed", str(tmp_path / "pre"))
+    monkeypatch.setenv("nnUNet_results", str(tmp_path / "res"))
+    monkeypatch.setenv("DINOUNET_TPU_PLATFORM", "cpu")
+
+    make_png_dataset(str(tmp_path / "raw"), "Dataset604_Regions", n_cases=6,
+                     size=(48, 40), n_classes=3)
+    # declare overlapping regions: 'whole' = {1,2}, 'inner' = {2}
+    dsj_file = tmp_path / "raw" / "Dataset604_Regions" / "dataset.json"
+    dsj = load_json(str(dsj_file))
+    dsj["labels"] = {"background": 0, "whole": [1, 2], "inner": [2]}
+    dsj["regions_class_order"] = [1, 2]
+    save_json(dsj, str(dsj_file))
+
+    extract_fingerprints([604], verbose=False)
+    pid = plan_experiments([604])
+    preprocess([604], pid, ["2d"], [1], False)
+
+    trainer = get_trainer_from_args(604, "2d", 0, "nnUNetTrainer", pid)
+    assert trainer.label_manager.has_regions
+    trainer.num_iterations_per_epoch = 2
+    trainer.num_val_iterations_per_epoch = 1
+    trainer.num_epochs = 1
+    trainer.run_training()
+    assert np.isfinite(trainer.logger.my_fantastic_logging["train_losses"][-1])
+    # region pseudo-dice: one entry per region
+    assert len(trainer.logger.my_fantastic_logging[
+        "dice_per_class_or_region"][-1]) == 2
+
+    # sliding-window validation exports via regions_class_order thresholding
+    metrics = trainer.perform_actual_validation()
+    assert metrics is not None
