@@ -403,6 +403,16 @@ def test_predictor_from_trained_folder(nnunet_env):
     ret = predictor.predict_from_files(in_folder, out_folder, overwrite=False)
     assert ret == []
 
+    # predict_single_npy_array round trip (ref :429-464)
+    from dinounet_tpu.utilities.plans_handler import PlansManager
+
+    rw = predictor.plans_manager.image_reader_writer_class()
+    img, props = rw.read_images(
+        (os.path.join(in_folder, "case_000_0000.png"),))
+    seg = predictor.predict_single_npy_array(img, props)
+    assert seg.shape == tuple(img.shape[1:])
+    assert set(np.unique(seg)).issubset({0, 1, 2})
+
 
 def test_region_based_training(tmp_path, monkeypatch):
     """Region-based training (overlapping targets + sigmoid/BCE, ref
