@@ -13,7 +13,7 @@ default_num_processes = int(os.environ.get("nnUNet_def_n_proc", 8))
 # separate-z path (per-slice 2D resampling + independent z interpolation).
 ANISO_THRESHOLD = 3
 
-def use_pallas_msda(train: bool = False) -> bool:
+def use_pallas_msda() -> bool:
     """Pallas MSDA on TPU backends, pure-JAX gather elsewhere (CPU tests).
 
     Controlled by env DINOUNET_TPU_MSDA_IMPL in {"auto", "pallas", "jax"}.

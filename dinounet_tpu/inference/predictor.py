@@ -181,14 +181,6 @@ class nnUNetPredictor:
 
     # ---------------- prediction ----------------
 
-    def _network_apply_fn(self, variables: dict):
-        model = self.network
-
-        def apply_fn(x):
-            return model.apply(variables, x, train=False)
-
-        return apply_fn
-
     def predict_logits_from_preprocessed_data(self, data: np.ndarray) -> np.ndarray:
         """Average logits over fold checkpoints (ref :466-501)."""
         prediction = None
@@ -197,24 +189,46 @@ class nnUNetPredictor:
             prediction = p if prediction is None else prediction + p
         return prediction / len(self.list_of_parameters)
 
+    def _get_tile_predictor(self):
+        """One compiled tile predictor per configuration, reused across all
+        cases and fold checkpoints (variables flow through as a jit argument,
+        so fold switches don't retrace the big model graph)."""
+        from dinounet_tpu.inference.sliding_window import make_tile_predictor
+
+        mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else None
+        patch_size = tuple(self.configuration_manager.patch_size)
+        mesh = self._inference_mesh()
+        # 3-D tiles are ~patch_size[0] times bigger than 2-D ones: shrink the
+        # batch BEFORE rounding it up to the mesh's data axis
+        tile_batch = self.tile_batch if len(patch_size) == 2 else max(
+            1, self.tile_batch // 4)
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            tile_batch = -(-tile_batch // n_data) * n_data
+        key = (patch_size, self.label_manager.num_segmentation_heads,
+               tile_batch, mirror_axes, self.use_gaussian, mesh)
+        if getattr(self, "_tile_predictor_key", None) != key:
+            model = self.network
+            self._tile_predictor = make_tile_predictor(
+                lambda v, x: model.apply(v, x, train=False),
+                patch_size, self.label_manager.num_segmentation_heads,
+                tile_batch=tile_batch, mirror_axes=mirror_axes,
+                use_gaussian=self.use_gaussian, mesh=mesh)
+            self._tile_predictor_key = key
+        return self._tile_predictor
+
     def predict_sliding_window_return_logits(self, data: np.ndarray,
                                              variables: Optional[dict] = None) -> np.ndarray:
         if variables is None:
             variables = self.list_of_parameters[0]
         mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else None
         patch_size = tuple(self.configuration_manager.patch_size)
-        mesh = self._inference_mesh()
-        tile_batch = self.tile_batch
-        if mesh is not None:
-            # keep per-device tile count constant: scale the batch to the mesh
-            n_data = mesh.shape["data"]
-            tile_batch = -(-tile_batch // n_data) * n_data
         return predict_sliding_window_return_logits(
-            self._network_apply_fn(variables), np.asarray(data), patch_size,
+            None, np.asarray(data), patch_size,
             self.label_manager.num_segmentation_heads,
             tile_step_size=self.tile_step_size, mirror_axes=mirror_axes,
-            tile_batch=tile_batch, use_gaussian=self.use_gaussian,
-            verbose=self.verbose, mesh=mesh,
+            use_gaussian=self.use_gaussian, verbose=self.verbose,
+            predictor=self._get_tile_predictor(), variables=variables,
         )
 
     def _inference_mesh(self):
@@ -305,8 +319,10 @@ class nnUNetPredictor:
         )
 
         # pipeline host preprocessing with device prediction: a small thread
-        # pool preprocesses cases ahead while the TPU runs the current one
-        # (replaces the reference's spawn-worker queues, data_iterators.py:17-119)
+        # pool preprocesses a BOUNDED number of cases ahead while the TPU runs
+        # the current one (the reference's size-1 worker queues,
+        # data_iterators.py:17-119, are this backpressure)
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         def _prep(args):
@@ -316,13 +332,20 @@ class nnUNetPredictor:
                 self.dataset_json,
             )
 
-        pool = ThreadPoolExecutor(max_workers=max(1, num_processes_preprocessing))
-        futures = [pool.submit(_prep, (f, p))
-                   for f, p in zip(list_of_lists, seg_prev)]
+        if output_files is None:
+            output_files = [None] * len(list_of_lists)
+        n_workers = max(1, num_processes_preprocessing)
+        pool = ThreadPoolExecutor(max_workers=n_workers)
+        jobs = deque(zip(list_of_lists, seg_prev))
+        inflight = deque()
+        while jobs and len(inflight) < n_workers + 1:
+            inflight.append(pool.submit(_prep, jobs.popleft()))
 
         ret = []
-        for fut, out_trunc, prev in zip(futures, output_files, seg_prev):
-            data, seg, properties = fut.result()
+        for out_trunc, prev in zip(output_files, seg_prev):
+            data, seg, properties = inflight.popleft().result()
+            if jobs:
+                inflight.append(pool.submit(_prep, jobs.popleft()))
             if prev is not None:
                 # cascade: previous-stage labelmap was preprocessed as the seg;
                 # feed it to the net as one-hot channels (ref data_iterators.py:37-39)

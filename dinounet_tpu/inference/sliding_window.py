@@ -93,8 +93,10 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
     volume: scan over tile batches, mirror-TTA averaged forward, gaussian
     weighting, scatter-add accumulation on device.
 
-    apply_fn: (x: (B, ph, pw, C_in)) -> (B, ph, pw, num_classes) logits.
-    Returns predict(volume (Z, Y, X, C_in), offsets (N, 3) int32) ->
+    apply_fn: (variables, x: (B, ph, pw, C_in)) -> (B, ph, pw, num_classes)
+    logits — variables flow through the jit as an argument so one compiled
+    predictor serves every fold checkpoint and every case.
+    Returns predict(volume (Z, Y, X, C_in), offsets (N, 3) int32, variables) ->
     (accumulated_logits (Z, Y, X, num_classes), weights (Z, Y, X, 1)).
     """
     ph, pw = patch_size
@@ -104,7 +106,7 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
     variants = _mirror_variants_2d(mirror_axes)
 
     @jax.jit
-    def predict(volume, offsets):
+    def predict(volume, offsets, variables):
         Z, Y, X, C_in = volume.shape
         n = offsets.shape[0]
         n_pad = (-n) % tile_batch
@@ -142,7 +144,7 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
                 t = tiles
                 for a in axes:
                     t = jnp.flip(t, axis=a)
-                out = apply_fn(t)
+                out = apply_fn(variables, t)
                 for a in axes:
                     out = jnp.flip(out, axis=a)
                 logits = logits + out.astype(jnp.float32)
@@ -201,7 +203,7 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
         ]
 
     @jax.jit
-    def predict(volume, offsets):
+    def predict(volume, offsets, variables):
         Z, Y, X, C_in = volume.shape
         n = offsets.shape[0]
         n_pad = (-n) % tile_batch
@@ -236,7 +238,7 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
                 t = tiles
                 for a in axes:
                     t = jnp.flip(t, axis=a)
-                out = apply_fn(t)
+                out = apply_fn(variables, t)
                 for a in axes:
                     out = jnp.flip(out, axis=a)
                 logits = logits + out.astype(jnp.float32)
@@ -290,15 +292,36 @@ def sliding_window_offsets_2d(volume_shape_zyx: Sequence[int],
     return np.array(offsets, dtype=np.int32)
 
 
+def make_tile_predictor(apply_fn: Callable, patch_size, num_classes: int,
+                        tile_batch: int = 8, mirror_axes=None,
+                        use_gaussian: bool = True, mesh=None):
+    """Rank dispatch: one compiled tile predictor for 2-D or 3-D patches.
+    apply_fn: (variables, tiles) -> logits. Build ONCE per configuration and
+    reuse across cases/folds — the returned predict() takes variables as an
+    argument, so fold checkpoints do not retrace."""
+    if len(patch_size) == 2:
+        return make_tile_predictor_2d(
+            apply_fn, tuple(patch_size), num_classes, tile_batch=tile_batch,
+            mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh)
+    return make_tile_predictor_3d(
+        apply_fn, tuple(patch_size), num_classes, tile_batch=tile_batch,
+        mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh)
+
+
 def predict_sliding_window_return_logits(
-    apply_fn: Callable, data: np.ndarray, patch_size: Tuple[int, int],
+    apply_fn: Optional[Callable], data: np.ndarray, patch_size: Tuple[int, int],
     num_classes: int, tile_step_size: float = 0.5,
     mirror_axes: Optional[Tuple[int, ...]] = None, tile_batch: int = 8,
     use_gaussian: bool = True, verbose: bool = False, mesh=None,
+    predictor: Optional[Callable] = None, variables=None,
 ) -> np.ndarray:
     """End-to-end sliding window on (C, Z, Y, X) data, for 2-D networks
     (len(patch_size)==2: per-z-slice xy tile grid) and 3-D networks
     (len(patch_size)==3: volumetric tile grid).
+
+    Either pass `apply_fn(x) -> logits` (a throwaway predictor is built — fine
+    for tests/one-shot use) or a prebuilt `predictor` from
+    make_tile_predictor plus its `variables` (no retracing across cases/folds).
 
     Returns logits (num_classes, Z, Y, X) on host, matching the reference's
     output contract (ref predict_from_raw_data.py:680-776).
@@ -316,18 +339,14 @@ def predict_sliding_window_return_logits(
     volume = jnp.asarray(np.moveaxis(padded, 0, -1))  # (Z, Y, X, C)
     if len(patch_size) == 2:
         offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
-        predictor = make_tile_predictor_2d(
-            apply_fn, patch_size, num_classes, tile_batch=tile_batch,
-            mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh,
-        )
     else:
         offsets = sliding_window_offsets_3d((Zp, Yp, Xp), patch_size, tile_step_size)
-        predictor = make_tile_predictor_3d(
-            apply_fn, patch_size, num_classes,
-            tile_batch=max(1, tile_batch // 4),
-            mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh,
-        )
-    accum, weights = predictor(volume, jnp.asarray(offsets))
+    if predictor is None:
+        predictor = make_tile_predictor(
+            lambda _v, x: apply_fn(x), patch_size, num_classes,
+            tile_batch=tile_batch, mirror_axes=mirror_axes,
+            use_gaussian=use_gaussian, mesh=mesh)
+    accum, weights = predictor(volume, jnp.asarray(offsets), variables)
     logits = accum / weights
     logits = np.asarray(logits)
     if not np.all(np.isfinite(logits)):

@@ -75,8 +75,7 @@ class MSDeformAttn(nn.Module):
 
     @nn.compact
     def __call__(self, query, reference_points, value_tokens,
-                 value_spatial_shapes: Sequence[Tuple[int, int]],
-                 train: bool = False):
+                 value_spatial_shapes: Sequence[Tuple[int, int]]):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         B, Lq, _ = query.shape
         d_value = int(self.d_model * self.ratio)
@@ -107,7 +106,7 @@ class MSDeformAttn(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        if use_pallas_msda(train):
+        if use_pallas_msda():
             from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas
 
             out = ms_deform_attn_pallas(value, tuple(value_spatial_shapes), loc, attn)
@@ -192,7 +191,6 @@ class Extractor(nn.Module):
             reference_points,
             LayerNormFp32(1e-6, name="feat_norm")(feat),
             value_spatial_shapes,
-            train=train,
         )
         query = query + attn
         if self.with_cffn:

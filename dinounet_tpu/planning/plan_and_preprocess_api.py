@@ -134,7 +134,8 @@ def plan_and_preprocess_entry():
     parser.add_argument("--verify_dataset_integrity", action="store_true")
     parser.add_argument("--no_pp", action="store_true",
                         help="only fingerprint + plan, skip preprocessing")
-    parser.add_argument("--clean", action="store_true")
+    parser.add_argument("--clean", action="store_true",
+                        help="re-extract the fingerprint even if one exists")
     parser.add_argument("-pl", type=str, default="ExperimentPlanner",
                         help="experiment planner class name")
     parser.add_argument("-gpu_memory_target", type=float, default=8)
@@ -147,9 +148,12 @@ def plan_and_preprocess_entry():
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
+    if args.fpe != "DatasetFingerprintExtractor":
+        raise SystemExit(f"unknown fingerprint extractor {args.fpe!r} "
+                         "(only DatasetFingerprintExtractor is built in)")
     extract_fingerprints(args.d, num_processes=args.npfp,
                          check_dataset_integrity=args.verify_dataset_integrity,
-                         clean=True, verbose=args.verbose)
+                         clean=args.clean, verbose=args.verbose)
     planner_class = registry.planners.get(args.pl)
     plans_identifier = plan_experiments(
         args.d, experiment_planner_class=planner_class,

@@ -337,13 +337,18 @@ def _affine_coords_3d(key, in_shape, out_shape, cfg: "AugmentConfig3D"):
     scale = jnp.where(
         do_scale, jax.random.uniform(k_scale, minval=cfg.scale_range[0],
                                      maxval=cfg.scale_range[1]), 1.0)
+    # dummy-2d (anisotropic) mode: the spatial transform is per-slice — the
+    # through-plane axis must be neither rotated (rotation_ranges[1:]=(0,0))
+    # nor scaled (ref transforms_for_dummy_2d.py:6 + nnUNetTrainer.py:404-414)
+    scale_vec = (jnp.asarray([1.0, 1.0, 1.0]) * scale if not cfg.scale_in_plane_only
+                 else jnp.asarray([1.0, 0.0, 0.0]) + scale * jnp.asarray([0.0, 1.0, 1.0]))
     R = _rotation_matrix_3d(angles)
     centers_in = jnp.asarray([(s - 1) / 2.0 for s in in_shape], jnp.float32)
     centers_out = jnp.asarray([(s - 1) / 2.0 for s in out_shape], jnp.float32)
     grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in out_shape],
                          indexing="ij")
     coords = jnp.stack([g - c for g, c in zip(grids, centers_out)], axis=-1)
-    src = coords @ R.T * scale + centers_in  # (*out_shape, 3)
+    src = coords @ R.T * scale_vec + centers_in  # (*out_shape, 3)
     return src[..., 0], src[..., 1], src[..., 2]
 
 
@@ -407,6 +412,7 @@ class AugmentConfig3D:
     gamma_range: Tuple[float, float] = (0.7, 1.5)
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
     use_mask_for_norm: Tuple[bool, ...] = ()
+    scale_in_plane_only: bool = False  # dummy-2d: never scale through-plane
 
 
 def _blur_volume(vol3d: jnp.ndarray, sigma, enabled):

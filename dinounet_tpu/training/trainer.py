@@ -373,6 +373,7 @@ class nnUNetTrainer:
                 rotation_ranges=tuple(self._rotation_per_axis),
                 mirror_axes=mirror_axes,
                 use_mask_for_norm=tuple(self.configuration_manager.use_mask_for_norm),
+                scale_in_plane_only=do_dummy_2d,
             )
 
     # ------------------------------------------------------------- loss/steps
@@ -584,6 +585,7 @@ class nnUNetTrainer:
 
     def run_training(self):
         self.on_train_start()
+        first_epoch = self.current_epoch
         for epoch in range(self.current_epoch, self.num_epochs):
             self.logger.log("epoch_start_timestamps", time.time(), epoch)
             self.print_to_log_file(f"\nEpoch {epoch}")
@@ -594,7 +596,7 @@ class nnUNetTrainer:
             # TPU-native equivalent: a jax.profiler trace viewable in
             # TensorBoard/Perfetto). Enable with DINOUNET_TPU_PROFILE_DIR.
             profile_dir = os.environ.get("DINOUNET_TPU_PROFILE_DIR")
-            do_profile = profile_dir and epoch == self.current_epoch
+            do_profile = profile_dir and epoch == first_epoch
 
             train_losses = []
             for it in range(self.num_iterations_per_epoch):

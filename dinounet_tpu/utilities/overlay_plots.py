@@ -147,7 +147,8 @@ def generate_overlays_from_preprocessed(dataset_name_or_id, output_folder: str,
                                         num_processes: int = default_num_processes,
                                         plans_identifier: str = "nnUNetPlans",
                                         configuration: str = "3d_fullres",
-                                        overlay_intensity: float = 0.6) -> None:
+                                        overlay_intensity: float = 0.6,
+                                        channel_idx: int = 0) -> None:
     """ref :208-235."""
     from dinounet_tpu.utilities.plans_handler import PlansManager
 
@@ -163,7 +164,8 @@ def generate_overlays_from_preprocessed(dataset_name_or_id, output_folder: str,
 
     os.makedirs(output_folder, exist_ok=True)
     jobs = [(os.path.join(data_folder, f),
-             os.path.join(output_folder, f[:-4] + ".png"), overlay_intensity)
+             os.path.join(output_folder, f[:-4] + ".png"), overlay_intensity,
+             channel_idx)
             for f in case_files]
     with ThreadPoolExecutor(max_workers=num_processes) as pool:
         list(pool.map(lambda j: plot_overlay_preprocessed(*j), jobs))
@@ -191,7 +193,8 @@ def entry_point_plot_overlay_pngs():
         generate_overlays_from_preprocessed(
             args.dataset_name_or_id, args.o, num_processes=args.np,
             plans_identifier=args.p, configuration=args.c,
-            overlay_intensity=args.overlay_intensity)
+            overlay_intensity=args.overlay_intensity,
+            channel_idx=args.channel_idx)
 
 
 if __name__ == "__main__":

@@ -463,3 +463,29 @@ def test_region_based_training(tmp_path, monkeypatch):
     # sliding-window validation exports via regions_class_order thresholding
     metrics = trainer.perform_actual_validation()
     assert metrics is not None
+
+
+def test_dummy2d_scale_preserves_z():
+    """In-plane-only scaling (dummy-2d) must not resample across z slices."""
+    import jax
+    import jax.numpy as jnp
+
+    from dinounet_tpu.training.augmentation import (
+        AugmentConfig3D,
+        augment_batch_3d,
+    )
+
+    shape = (4, 16, 16)
+    cfg = AugmentConfig3D(
+        patch_size=shape, p_rotation=0.0, p_scale=1.0, scale_range=(1.3, 1.4),
+        scale_in_plane_only=True, p_noise=0.0, p_blur=0.0, p_brightness=0.0,
+        p_contrast=0.0, p_gamma=0.0, p_gamma_invert=0.0, mirror_axes=())
+    base = np.zeros((1, *shape, 1), np.float32)
+    for z in range(shape[0]):
+        base[0, z] = float(z)
+    x, _ = augment_batch_3d(jax.random.PRNGKey(0), jnp.asarray(base),
+                            jnp.zeros((1, *shape), jnp.int32), cfg)
+    x = np.asarray(x)[0, ..., 0]
+    for z in range(shape[0]):
+        interior = x[z, 6:-6, 6:-6]
+        np.testing.assert_allclose(interior, float(z), atol=1e-4)
