@@ -190,3 +190,39 @@ def test_batch_dice_global_under_gspmd(cpu8):
     assert got == pytest.approx(ref, rel=1e-5)
     np.testing.assert_allclose(np.asarray(got_grad), np.asarray(ref_grad),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_batchnorm_is_sync_under_gspmd(cpu8):
+    """The adapter's BatchNorm replaces the reference's SyncBatchNorm
+    (ref dinov3_adapter.py:361-364 + DDP convert at nnUNetTrainer.py:216-218):
+    under GSPMD, batch statistics over a sharded batch must equal the
+    single-device (global-batch) statistics."""
+    import flax.linen as nn
+
+    from dinounet_tpu.parallel import batch_sharding, make_mesh
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 4, 4, 3)), jnp.float32)
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    variables = bn.init(jax.random.PRNGKey(0), x)
+
+    def step(v, x):
+        out, mut = bn.apply(v, x, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    ref_out, ref_stats = step(variables, x)
+
+    mesh = make_mesh(n_model=1, devices=cpu8)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    with mesh:
+        got_out, got_stats = jax.jit(step)(variables, xs)
+
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(got_stats["batch_stats"][k] if "batch_stats" in got_stats
+                       else got_stats[k]),
+            np.asarray(ref_stats["batch_stats"][k] if "batch_stats" in ref_stats
+                       else ref_stats[k]),
+            rtol=1e-5, atol=1e-6)
