@@ -29,6 +29,9 @@ def _extract_training_log(logger) -> dict:
         "epochs": list(range(num_epochs)),
         "train_losses": log_data.get("train_losses", []),
         "val_losses": log_data.get("val_losses", []),
+        "mean_fg_dice": log_data.get("mean_fg_dice", []),
+        "ema_fg_dice": log_data.get("ema_fg_dice", []),
+        "lrs": log_data.get("lrs", []),
     }
 
 
