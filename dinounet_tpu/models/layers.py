@@ -51,8 +51,10 @@ class InstanceNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         xf = x.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1))
+        # one-pass statistics (see LayerNormFp32): E[x] and E[x^2] in one read
         mean = xf.mean(axes, keepdims=True)
-        var = xf.var(axes, keepdims=True)
+        mean2 = (xf * xf).mean(axes, keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
 

@@ -114,8 +114,12 @@ class LayerNormFp32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         xf = x.astype(jnp.float32)
+        # one-pass statistics: E[x] and E[x^2] fuse into a single read of x
+        # (a serial mean -> var dependency costs a second full pass; profiled
+        # as the largest single cost bucket of the tile forward)
         mean = xf.mean(-1, keepdims=True)
-        var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+        mean2 = (xf * xf).mean(-1, keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
 
