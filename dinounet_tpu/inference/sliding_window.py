@@ -88,7 +88,8 @@ def _mirror_variants_2d(mirror_axes: Optional[Tuple[int, ...]]):
 def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
                            num_classes: int, tile_batch: int = 8,
                            mirror_axes: Optional[Tuple[int, ...]] = None,
-                           use_gaussian: bool = True, mesh=None):
+                           use_gaussian: bool = True, mesh=None,
+                           with_target: bool = False):
     """Builds a jitted function processing the full tile list of one padded
     volume: scan over tile batches, mirror-TTA averaged forward, gaussian
     weighting, scatter-add accumulation on device.
@@ -98,6 +99,12 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
     predictor serves every fold checkpoint and every case.
     Returns predict(volume (Z, Y, X, C_in), offsets (N, 3) int32, variables) ->
     (accumulated_logits (Z, Y, X, num_classes), weights (Z, Y, X, 1)).
+
+    with_target=True is the `*_with_target` family (ref
+    predict_from_raw_data.py:554-569,623-678): apply_fn takes a second,
+    like-sliced tile batch from a target/mask volume, which is flipped
+    alongside the image under mirror TTA; predict() then takes the target
+    volume (Z, Y, X, C_t) as a fourth argument.
     """
     ph, pw = patch_size
     gaussian = jnp.asarray(compute_gaussian((ph, pw)))[None, :, :, None]
@@ -106,7 +113,7 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
     variants = _mirror_variants_2d(mirror_axes)
 
     @jax.jit
-    def predict(volume, offsets, variables):
+    def predict(volume, offsets, variables, target=None):
         Z, Y, X, C_in = volume.shape
         n = offsets.shape[0]
         n_pad = (-n) % tile_batch
@@ -124,16 +131,19 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
         accum = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
         weights = jnp.zeros((Z, Y, X, 1), jnp.float32)
 
-        def get_tile(off):
-            z, oy, ox = off[0], off[1], off[2]
-            return jax.lax.dynamic_slice(
-                volume, (z, oy, ox, 0), (1, ph, pw, C_in)
-            )[0]
+        def get_tile(vol):
+            def slice_at(off):
+                z, oy, ox = off[0], off[1], off[2]
+                return jax.lax.dynamic_slice(
+                    vol, (z, oy, ox, 0), (1, ph, pw, vol.shape[-1])
+                )[0]
+            return slice_at
 
         def body(carry, inp):
             accum, weights = carry
             offs, val = inp
-            tiles = jax.vmap(get_tile)(offs)  # (tb, ph, pw, C_in)
+            tiles = jax.vmap(get_tile(volume))(offs)  # (tb, ph, pw, C_in)
+            tar = jax.vmap(get_tile(target))(offs) if with_target else None
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
@@ -141,10 +151,13 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
                     tiles, NamedSharding(mesh, PartitionSpec("data")))
             logits = 0.0
             for axes in variants:
-                t = tiles
+                t, tt = tiles, tar
                 for a in axes:
                     t = jnp.flip(t, axis=a)
-                out = apply_fn(variables, t)
+                    if with_target:
+                        tt = jnp.flip(tt, axis=a)
+                out = apply_fn(variables, t, tt) if with_target \
+                    else apply_fn(variables, t)
                 for a in axes:
                     out = jnp.flip(out, axis=a)
                 logits = logits + out.astype(jnp.float32)
@@ -183,12 +196,14 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
 def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
                            num_classes: int, tile_batch: int = 2,
                            mirror_axes: Optional[Tuple[int, ...]] = None,
-                           use_gaussian: bool = True, mesh=None):
+                           use_gaussian: bool = True, mesh=None,
+                           with_target: bool = False):
     """3-D analogue of make_tile_predictor_2d for volumetric networks:
     tiles are (pd, ph, pw) blocks, mirror-TTA over up to 3 axes
     (ref predict_from_raw_data.py:537-552 for the flip combos).
 
-    apply_fn: (B, pd, ph, pw, C_in) -> (B, pd, ph, pw, num_classes)."""
+    apply_fn: (B, pd, ph, pw, C_in) -> (B, pd, ph, pw, num_classes);
+    with_target=True as in make_tile_predictor_2d."""
     pd, ph, pw = patch_size
     gaussian = jnp.asarray(compute_gaussian((pd, ph, pw)))[None, ..., None]
     if not use_gaussian:
@@ -203,7 +218,7 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
         ]
 
     @jax.jit
-    def predict(volume, offsets, variables):
+    def predict(volume, offsets, variables, target=None):
         Z, Y, X, C_in = volume.shape
         n = offsets.shape[0]
         n_pad = (-n) % tile_batch
@@ -220,14 +235,18 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
         accum = jnp.zeros((Z, Y, X, num_classes), jnp.float32)
         weights = jnp.zeros((Z, Y, X, 1), jnp.float32)
 
-        def get_tile(off):
-            return jax.lax.dynamic_slice(
-                volume, (off[0], off[1], off[2], 0), (pd, ph, pw, C_in))
+        def get_tile(vol):
+            def slice_at(off):
+                return jax.lax.dynamic_slice(
+                    vol, (off[0], off[1], off[2], 0),
+                    (pd, ph, pw, vol.shape[-1]))
+            return slice_at
 
         def body(carry, inp):
             accum, weights = carry
             offs, val = inp
-            tiles = jax.vmap(get_tile)(offs)  # (tb, pd, ph, pw, C_in)
+            tiles = jax.vmap(get_tile(volume))(offs)  # (tb, pd, ph, pw, C_in)
+            tar = jax.vmap(get_tile(target))(offs) if with_target else None
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
@@ -235,10 +254,13 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
                     tiles, NamedSharding(mesh, PartitionSpec("data")))
             logits = 0.0
             for axes in variants:
-                t = tiles
+                t, tt = tiles, tar
                 for a in axes:
                     t = jnp.flip(t, axis=a)
-                out = apply_fn(variables, t)
+                    if with_target:
+                        tt = jnp.flip(tt, axis=a)
+                out = apply_fn(variables, t, tt) if with_target \
+                    else apply_fn(variables, t)
                 for a in axes:
                     out = jnp.flip(out, axis=a)
                 logits = logits + out.astype(jnp.float32)
@@ -294,7 +316,8 @@ def sliding_window_offsets_2d(volume_shape_zyx: Sequence[int],
 
 def make_tile_predictor(apply_fn: Callable, patch_size, num_classes: int,
                         tile_batch: int = 8, mirror_axes=None,
-                        use_gaussian: bool = True, mesh=None):
+                        use_gaussian: bool = True, mesh=None,
+                        with_target: bool = False):
     """Rank dispatch: one compiled tile predictor for 2-D or 3-D patches.
     apply_fn: (variables, tiles) -> logits. Build ONCE per configuration and
     reuse across cases/folds — the returned predict() takes variables as an
@@ -302,10 +325,12 @@ def make_tile_predictor(apply_fn: Callable, patch_size, num_classes: int,
     if len(patch_size) == 2:
         return make_tile_predictor_2d(
             apply_fn, tuple(patch_size), num_classes, tile_batch=tile_batch,
-            mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh)
+            mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh,
+            with_target=with_target)
     return make_tile_predictor_3d(
         apply_fn, tuple(patch_size), num_classes, tile_batch=tile_batch,
-        mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh)
+        mirror_axes=mirror_axes, use_gaussian=use_gaussian, mesh=mesh,
+        with_target=with_target)
 
 
 def predict_sliding_window_return_logits(
@@ -314,6 +339,7 @@ def predict_sliding_window_return_logits(
     mirror_axes: Optional[Tuple[int, ...]] = None, tile_batch: int = 8,
     use_gaussian: bool = True, verbose: bool = False, mesh=None,
     predictor: Optional[Callable] = None, variables=None,
+    target_mask: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """End-to-end sliding window on (C, Z, Y, X) data, for 2-D networks
     (len(patch_size)==2: per-z-slice xy tile grid) and 3-D networks
@@ -322,6 +348,12 @@ def predict_sliding_window_return_logits(
     Either pass `apply_fn(x) -> logits` (a throwaway predictor is built — fine
     for tests/one-shot use) or a prebuilt `predictor` from
     make_tile_predictor plus its `variables` (no retracing across cases/folds).
+
+    target_mask (C_t, Z, Y, X), if given, is sliced/flipped alongside the
+    image and fed to the network as a second input — the reference's
+    `*_with_target` path (ref predict_from_raw_data.py:728-776); apply_fn
+    then takes (x, target) (or (variables, x, target) for a prebuilt
+    with_target predictor).
 
     Returns logits (num_classes, Z, Y, X) on host, matching the reference's
     output contract (ref predict_from_raw_data.py:680-776).
@@ -337,16 +369,26 @@ def predict_sliding_window_return_logits(
     _, Zp, Yp, Xp = padded.shape
 
     volume = jnp.asarray(np.moveaxis(padded, 0, -1))  # (Z, Y, X, C)
+    with_target = target_mask is not None
+    if with_target:
+        padded_t, _ = pad_nd_image(target_mask, target)
+        target_vol = jnp.asarray(np.moveaxis(padded_t, 0, -1))
     if len(patch_size) == 2:
         offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
     else:
         offsets = sliding_window_offsets_3d((Zp, Yp, Xp), patch_size, tile_step_size)
     if predictor is None:
+        fn = (lambda _v, x, t: apply_fn(x, t)) if with_target \
+            else (lambda _v, x: apply_fn(x))
         predictor = make_tile_predictor(
-            lambda _v, x: apply_fn(x), patch_size, num_classes,
+            fn, patch_size, num_classes,
             tile_batch=tile_batch, mirror_axes=mirror_axes,
-            use_gaussian=use_gaussian, mesh=mesh)
-    accum, weights = predictor(volume, jnp.asarray(offsets), variables)
+            use_gaussian=use_gaussian, mesh=mesh, with_target=with_target)
+    if with_target:
+        accum, weights = predictor(volume, jnp.asarray(offsets), variables,
+                                   target_vol)
+    else:
+        accum, weights = predictor(volume, jnp.asarray(offsets), variables)
     logits = accum / weights
     logits = np.asarray(logits)
     if not np.all(np.isfinite(logits)):
@@ -358,3 +400,15 @@ def predict_sliding_window_return_logits(
     logits = np.moveaxis(logits, -1, 0)  # (num_classes, Z, Y, X)
     sl = (slice(None),) + tuple(slice(lo, hi) for lo, hi in revert)
     return logits[sl]
+
+
+def predict_sliding_window_return_logits_with_target(
+    apply_fn: Optional[Callable], data: np.ndarray, target_mask: np.ndarray,
+    patch_size, num_classes: int, **kwargs,
+) -> np.ndarray:
+    """`*_with_target` entry point (ref predict_from_raw_data.py:728-776):
+    sliding window where the network consumes (image_tile, target_tile).
+    apply_fn: (x, target) -> logits."""
+    return predict_sliding_window_return_logits(
+        apply_fn, data, patch_size, num_classes, target_mask=target_mask,
+        **kwargs)

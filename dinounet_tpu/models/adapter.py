@@ -243,8 +243,10 @@ class SpatialPriorModule(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def cbr(y, feats, stride, name):
+            # explicit (1, 1) padding: XLA's SAME pads (0, 1) for stride-2 3x3
+            # on even sizes, one pixel off the reference's Conv2d(padding=1)
             y = nn.Conv(
-                feats, (3, 3), strides=(stride, stride), padding="SAME",
+                feats, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)),
                 use_bias=False, dtype=self.dtype, kernel_init=conv_kaiming_init,
                 name=f"{name}_conv",
             )(y)

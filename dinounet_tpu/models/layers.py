@@ -194,17 +194,19 @@ class TransposedConv(nn.Module):
 
 
 @functools.lru_cache(maxsize=None)
-def _resize_matrix(src: int, dst: int):
-    """The jax.image.resize('linear') operator along one axis as a dense
-    (dst, src) numpy matrix (pure numpy: safe to call during tracing).
+def _resize_matrix(src: int, dst: int, antialias: bool = False):
+    """One axis of a bilinear resize as a dense (dst, src) numpy matrix
+    (pure numpy: safe to call during tracing).
 
-    Matches jax.image.resize semantics: half-pixel centers, edge clamping via
-    weight renormalization, triangle-kernel anti-aliasing when downscaling.
+    antialias=False matches torch F.interpolate(mode='bilinear',
+    align_corners=False) — the reference's resize everywhere (e.g.
+    dinov3_adapter.py:471-474) — including plain 2-tap downscaling;
+    antialias=True matches jax.image.resize's triangle-kernel downscaling.
     Sizes are static under jit, so resizes become two small matmuls on the
     MXU instead of the gather-based lowering.
     """
     scale = src / dst
-    kernel_scale = max(scale, 1.0)  # anti-alias when downscaling
+    kernel_scale = max(scale, 1.0) if antialias else 1.0
     out = np.zeros((dst, src), np.float32)
     for i in range(dst):
         center = (i + 0.5) * scale - 0.5
@@ -225,8 +227,8 @@ def _resize_matrix(src: int, dst: int):
 
 
 def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize NHWC, matching F.interpolate(align_corners=False)
-    (incl. jax.image.resize's anti-aliased downscaling), as two matmuls."""
+    """Bilinear resize NHWC, matching F.interpolate(align_corners=False,
+    antialias=False) exactly, as two matmuls."""
     B, H, W, C = x.shape
     if (H, W) == tuple(size):
         return x

@@ -115,3 +115,34 @@ def test_mesh_sharded_assembly_matches_single_device(rng):
             mesh=mesh)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(sharded, data, rtol=1e-4, atol=1e-4)
+
+
+class TestWithTarget:
+    """`*_with_target` variants (ref predict_from_raw_data.py:554-569,623-776):
+    the target volume is sliced and mirror-flipped alongside the image. With
+    net(x, t) = x * t (flip-equivariant), assembly must return data * mask."""
+
+    def test_masked_identity_roundtrip(self, rng):
+        from dinounet_tpu.inference.sliding_window import (
+            predict_sliding_window_return_logits_with_target,
+        )
+
+        data = rng.standard_normal((2, 1, 70, 90)).astype(np.float32)
+        mask = (rng.random((1, 1, 70, 90)) > 0.5).astype(np.float32)
+        out = predict_sliding_window_return_logits_with_target(
+            lambda x, t: (x * t).astype(jnp.float32), data, mask,
+            (32, 32), num_classes=2, tile_step_size=0.5, tile_batch=4)
+        np.testing.assert_allclose(out, data * mask, rtol=1e-4, atol=1e-4)
+
+    def test_with_target_tta_3d(self, rng):
+        from dinounet_tpu.inference.sliding_window import (
+            predict_sliding_window_return_logits_with_target,
+        )
+
+        data = rng.standard_normal((1, 20, 28, 24)).astype(np.float32)
+        mask = (rng.random((1, 20, 28, 24)) > 0.3).astype(np.float32)
+        out = predict_sliding_window_return_logits_with_target(
+            lambda x, t: (x * t).astype(jnp.float32), data, mask,
+            (16, 16, 16), num_classes=1, tile_step_size=0.5,
+            mirror_axes=(0, 1, 2), tile_batch=2)
+        np.testing.assert_allclose(out, data * mask, rtol=1e-4, atol=1e-4)
