@@ -31,6 +31,20 @@ def use_pallas_msda() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def use_fused_attention() -> bool:
+    """Fused RoPE+SDPA Pallas kernel for the frozen backbone (TPU only).
+
+    Controlled by env DINOUNET_TPU_ATTN_IMPL in {"auto", "pallas", "jax"};
+    "auto" follows the MSDA kernel selection (Pallas on TPU, XLA elsewhere).
+    """
+    impl = os.environ.get("DINOUNET_TPU_ATTN_IMPL", "auto")
+    if impl == "pallas":
+        return True
+    if impl == "jax":
+        return False
+    return use_pallas_msda()
+
+
 def enable_persistent_compilation_cache() -> None:
     """Turn on JAX's on-disk executable cache (idempotent).
 

@@ -136,6 +136,19 @@ class Attention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cdt, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, M, Dh)
+
+        from dinounet_tpu.configuration import use_fused_attention
+
+        if use_fused_attention():
+            # Pallas kernel: RoPE + QK^T + softmax + PV in VMEM, no HBM
+            # score matrices (ops/attention_pallas.py). Forward-only — valid
+            # because the backbone is frozen on every DinoUNet path.
+            from dinounet_tpu.ops.attention_pallas import fused_rope_attention
+
+            sin, cos = rope if rope is not None else (None, None)
+            o = fused_rope_attention(qkv, sin, cos).reshape(B, N, C)
+            return nn.Dense(C, use_bias=cfg.proj_bias, dtype=cdt, name="proj")(o)
+
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, M, Dh)
 
         if rope is not None:

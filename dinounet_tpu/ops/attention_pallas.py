@@ -1,0 +1,108 @@
+"""Fused RoPE + multi-head self-attention — Pallas TPU kernel (forward only).
+
+The frozen DINOv3 backbone is the dominant cost of the DinoUNet tile forward,
+and within it the attention score/probability matrices are pure HBM traffic:
+at 512x512 tiles (N = 1029 tokens) each block materializes a (B, M, N, N)
+score tensor (~200 MB bf16 at batch 8) twice per layer through the einsum +
+softmax + einsum formulation. This kernel keeps one (batch, head)'s worth of
+work in VMEM: RoPE rotation of q/k, the QK^T matmul, the fp32 softmax, and
+the PV matmul, so HBM sees q/k/v once and the output once — the score matrix
+never leaves the chip. One head per program keeps the live VMEM set at
+~7 MB (scores (N, N) fp32 dominate), under the 16 MB scoped limit.
+
+RoPE inside the kernel uses the roll trick: rotate_half(x) = concat(-x2, x1)
+equals roll(x, D/2) * sign with sign = [-1]*D/2 ++ [+1]*D/2; the sign is
+folded into the sin table, so the rotation is one lane-roll and two FMAs.
+Prefix (cls/storage) tokens carry identity rows (sin 0, cos 1) in the tables,
+exactly like the XLA path (models/vit.py) and the reference, which applies
+RoPE to patch tokens only (ref: dinov3/layers/attention.py:66-85).
+
+Forward-only by design: the backbone is frozen on every DinoUNet path (ref:
+dinov3_adapter.py:326 requires_grad_(False); our models wrap backbone outputs
+in stop_gradient), so no cotangent ever reaches this op and no VJP is needed.
+Numerics match the XLA path: RoPE in fp32, scores bf16 on the MXU with fp32
+accumulation, softmax in fp32, probabilities cast back to the compute dtype
+(the reference's torch.autocast(bf16) evaluation).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(scale, use_rope, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
+    """One program = one (batch, head). q/k/v/o: (1, 1, N, Dh); sin/cos:
+    (N, Dh) fp32 with the rotation sign pre-folded into sin."""
+    Dh = q_ref.shape[-1]
+    cdt = q_ref.dtype
+    if use_rope:
+        sin = sin_ref[...]
+        cos = cos_ref[...]
+
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        return (xf * cos + pltpu.roll(xf, Dh // 2, 1) * sin).astype(cdt)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    if use_rope:
+        q = rope(q)
+        k = rope(k)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(cdt)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)
+
+
+def fused_rope_attention(qkv: jnp.ndarray, sin: jnp.ndarray | None,
+                         cos: jnp.ndarray | None,
+                         interpret: bool = False) -> jnp.ndarray:
+    """qkv: (B, N, 3, M, Dh) — the fused QKV projection output, reshaped.
+    sin/cos: (N, Dh) fp32 RoPE tables (identity rows for prefix tokens), or
+    None to skip RoPE. Returns attention output (B, N, M, Dh) in qkv's dtype.
+    """
+    B, N, three, M, Dh = qkv.shape
+    assert three == 3
+    use_rope = sin is not None
+    if use_rope:
+        half = Dh // 2
+        # fold rotate_half's sign into the sin table (see module docstring)
+        sin_eff = jnp.concatenate(
+            [-sin[:, :half], sin[:, half:]], axis=-1).astype(jnp.float32)
+        cos = cos.astype(jnp.float32)
+    else:
+        sin_eff = jnp.zeros((N, Dh), jnp.float32)
+        cos = jnp.ones((N, Dh), jnp.float32)
+
+    # (B, N, 3, M, Dh) -> per-head layout (B, M, N, Dh); XLA fuses the
+    # slice+transpose into the surrounding graph
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+    kern = functools.partial(_kernel, Dh ** -0.5, use_rope)
+    head_spec = pl.BlockSpec((1, 1, N, Dh), lambda b, m: (b, m, 0, 0),
+                             memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((N, Dh), lambda b, m: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, M),
+        in_specs=[head_spec, head_spec, head_spec, table_spec, table_spec],
+        out_specs=head_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M, N, Dh), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * M * N * N * Dh,
+            bytes_accessed=qkv.dtype.itemsize * 4 * B * M * N * Dh,
+            transcendentals=B * M * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v, sin_eff, cos)
+    return out.transpose(0, 2, 1, 3)

@@ -1,0 +1,52 @@
+"""Parity of the fused RoPE+attention Pallas kernel (interpret mode on CPU)
+against the XLA einsum formulation in models/vit.py."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("N,M,Dh,n_prefix", [(68, 4, 64, 4), (37, 2, 32, 5)])
+def test_fused_matches_xla_path(rng, N, M, Dh, n_prefix):
+    import jax.numpy as jnp
+
+    from dinounet_tpu.models.vit import rope_apply, rope_sincos
+    from dinounet_tpu.ops.attention_pallas import fused_rope_attention
+
+    B = 2
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3, M, Dh)), jnp.float32)
+    # rope tables with identity rows for the prefix tokens (as DinoViT builds)
+    n_patches = N - n_prefix
+    H = 1
+    sin, cos = rope_sincos(H, n_patches, Dh)
+    sin = jnp.concatenate([jnp.zeros((n_prefix, Dh), jnp.float32), sin])
+    cos = jnp.concatenate([jnp.ones((n_prefix, Dh), jnp.float32), cos])
+
+    got = fused_rope_attention(qkv, sin, cos, interpret=True)
+
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = rope_apply(q, sin[:, None, :], cos[:, None, :])
+    k = rope_apply(k, sin[:, None, :], cos[:, None, :])
+    scores = jnp.einsum("bnmd,bkmd->bmnk", q, k) * (Dh ** -0.5)
+    probs = jnp.exp(scores - scores.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    want = jnp.einsum("bmnk,bkmd->bnmd", probs, v)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_no_rope(rng):
+    import jax.numpy as jnp
+
+    from dinounet_tpu.ops.attention_pallas import fused_rope_attention
+
+    B, N, M, Dh = 1, 24, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3, M, Dh)), jnp.float32)
+    got = fused_rope_attention(qkv, None, None, interpret=True)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scores = jnp.einsum("bnmd,bkmd->bmnk", q, k) * (Dh ** -0.5)
+    probs = jnp.exp(scores - scores.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    want = jnp.einsum("bmnk,bkmd->bnmd", probs, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
