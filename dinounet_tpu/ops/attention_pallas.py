@@ -1,4 +1,4 @@
-"""Fused RoPE + multi-head self-attention — Pallas TPU kernel (forward only).
+"""Fused RoPE + multi-head self-attention — Pallas TPU kernel.
 
 The frozen DINOv3 backbone is the dominant cost of the DinoUNet tile forward,
 and within it the attention score/probability matrices are pure HBM traffic:
@@ -17,9 +17,12 @@ Prefix (cls/storage) tokens carry identity rows (sin 0, cos 1) in the tables,
 exactly like the XLA path (models/vit.py) and the reference, which applies
 RoPE to patch tokens only (ref: dinov3/layers/attention.py:66-85).
 
-Forward-only by design: the backbone is frozen on every DinoUNet path (ref:
-dinov3_adapter.py:326 requires_grad_(False); our models wrap backbone outputs
-in stop_gradient), so no cotangent ever reaches this op and no VJP is needed.
+The backbone is frozen on every DinoUNet path (ref: dinov3_adapter.py:326
+requires_grad_(False); our models wrap backbone outputs in stop_gradient), so
+no cotangent ever reaches this op in practice — but jax.grad still linearizes
+the whole graph before pruning, so the op carries a custom VJP whose backward
+recomputes the attention with the XLA einsum formulation and differentiates
+that (exact; dead-code-eliminated on the frozen paths).
 Numerics match the XLA path: RoPE in fp32, scores bf16 on the MXU with fp32
 accumulation, softmax in fp32, probabilities cast back to the compute dtype
 (the reference's torch.autocast(bf16) evaluation).
@@ -33,24 +36,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scale, use_rope, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
+def _kernel(scale, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
     """One program = one (batch, head). q/k/v/o: (1, 1, N, Dh); sin/cos:
-    (N, Dh) fp32 with the rotation sign pre-folded into sin."""
+    (N, Dh) fp32 with the rotation sign pre-folded into sin (identity
+    tables — sin 0, cos 1 — encode the no-RoPE case)."""
     Dh = q_ref.shape[-1]
     cdt = q_ref.dtype
-    if use_rope:
-        sin = sin_ref[...]
-        cos = cos_ref[...]
+    sin = sin_ref[...]
+    cos = cos_ref[...]
 
     def rope(x):
         xf = x.astype(jnp.float32)
         return (xf * cos + pltpu.roll(xf, Dh // 2, 1) * sin).astype(cdt)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    if use_rope:
-        q = rope(q)
-        k = rope(k)
+    q = rope(q_ref[0, 0])
+    k = rope(k_ref[0, 0])
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale
@@ -61,6 +61,27 @@ def _kernel(scale, use_rope, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
     ).astype(cdt)
 
 
+def _xla_reference(qkv, sin_eff, cos):
+    """The einsum formulation on the sign-folded tables — used only as the
+    numerical source for the custom VJP (models/vit.py's fallback path has
+    the same math)."""
+    B, N, _, M, Dh = qkv.shape
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        rolled = jnp.roll(xf, Dh // 2, axis=-1)
+        return (xf * cos[:, None, :] + rolled * sin_eff[:, None, :]).astype(x.dtype)
+
+    q = rope(q)
+    k = rope(k)
+    s = jnp.einsum("bnmd,bkmd->bmnk", q, k,
+                   preferred_element_type=jnp.float32) * (Dh ** -0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bmnk,bkmd->bnmd", p, v,
+                      preferred_element_type=jnp.float32).astype(qkv.dtype)
+
+
 def fused_rope_attention(qkv: jnp.ndarray, sin: jnp.ndarray | None,
                          cos: jnp.ndarray | None,
                          interpret: bool = False) -> jnp.ndarray:
@@ -68,10 +89,8 @@ def fused_rope_attention(qkv: jnp.ndarray, sin: jnp.ndarray | None,
     sin/cos: (N, Dh) fp32 RoPE tables (identity rows for prefix tokens), or
     None to skip RoPE. Returns attention output (B, N, M, Dh) in qkv's dtype.
     """
-    B, N, three, M, Dh = qkv.shape
-    assert three == 3
-    use_rope = sin is not None
-    if use_rope:
+    N, Dh = qkv.shape[1], qkv.shape[4]
+    if sin is not None:
         half = Dh // 2
         # fold rotate_half's sign into the sin table (see module docstring)
         sin_eff = jnp.concatenate(
@@ -80,6 +99,30 @@ def fused_rope_attention(qkv: jnp.ndarray, sin: jnp.ndarray | None,
     else:
         sin_eff = jnp.zeros((N, Dh), jnp.float32)
         cos = jnp.ones((N, Dh), jnp.float32)
+    return _fused_rope_attention(qkv, sin_eff, cos, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_rope_attention(qkv, sin_eff, cos, interpret=False):
+    return _pallas_forward(qkv, sin_eff, cos, interpret)
+
+
+def _vjp_fwd(qkv, sin_eff, cos, interpret):
+    return _pallas_forward(qkv, sin_eff, cos, interpret), (qkv, sin_eff, cos)
+
+
+def _vjp_bwd(interpret, res, g):
+    qkv, sin_eff, cos = res
+    _, pullback = jax.vjp(lambda q: _xla_reference(q, sin_eff, cos), qkv)
+    return (pullback(g)[0], jnp.zeros_like(sin_eff), jnp.zeros_like(cos))
+
+
+_fused_rope_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _pallas_forward(qkv, sin_eff, cos, interpret=False):
+    B, N, three, M, Dh = qkv.shape
+    assert three == 3
 
     # (B, N, 3, M, Dh) -> per-head layout (B, M, N, Dh); XLA fuses the
     # slice+transpose into the surrounding graph
@@ -87,7 +130,7 @@ def fused_rope_attention(qkv: jnp.ndarray, sin: jnp.ndarray | None,
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
-    kern = functools.partial(_kernel, Dh ** -0.5, use_rope)
+    kern = functools.partial(_kernel, Dh ** -0.5)
     head_spec = pl.BlockSpec((1, 1, N, Dh), lambda b, m: (b, m, 0, 0),
                              memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((N, Dh), lambda b, m: (0, 0),

@@ -50,3 +50,37 @@ def test_no_rope(rng):
     want = jnp.einsum("bmnk,bkmd->bnmd", probs, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_grad_matches_xla_path(rng):
+    """The custom VJP (recompute-based) must match grads of the einsum path —
+    needed because jax.grad linearizes the whole graph even though every
+    DinoUNet path stop_gradients the backbone outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from dinounet_tpu.models.vit import rope_apply, rope_sincos
+    from dinounet_tpu.ops.attention_pallas import fused_rope_attention
+
+    B, N, M, Dh, n_prefix = 1, 21, 2, 32, 5
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3, M, Dh)), jnp.float32)
+    sin, cos = rope_sincos(1, N - n_prefix, Dh)
+    sin = jnp.concatenate([jnp.zeros((n_prefix, Dh), jnp.float32), sin])
+    cos = jnp.concatenate([jnp.ones((n_prefix, Dh), jnp.float32), cos])
+
+    def loss_fused(qkv):
+        return jnp.sum(fused_rope_attention(qkv, sin, cos, interpret=True) ** 2)
+
+    def loss_ref(qkv):
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rope_apply(q, sin[:, None, :], cos[:, None, :])
+        k = rope_apply(k, sin[:, None, :], cos[:, None, :])
+        s = jnp.einsum("bnmd,bkmd->bmnk", q, k) * (Dh ** -0.5)
+        p = jnp.exp(s - s.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        return jnp.sum(jnp.einsum("bmnk,bkmd->bnmd", p, v) ** 2)
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)
