@@ -231,6 +231,36 @@ class nnUNetPredictor:
             predictor=self._get_tile_predictor(), variables=variables,
         )
 
+    def predict_sliding_window_return_logits_with_target(
+            self, data: np.ndarray, target_mask: np.ndarray,
+            variables: Optional[dict] = None) -> np.ndarray:
+        """`*_with_target` entry point (ref predict_from_raw_data.py:728-776):
+        for networks whose forward takes (image, mask) — the mask volume is
+        sliced and mirror-flipped alongside the image. data/target_mask:
+        (C, Z, Y, X)."""
+        from dinounet_tpu.inference.sliding_window import make_tile_predictor
+
+        if variables is None:
+            variables = self.list_of_parameters[0]
+        mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else None
+        patch_size = tuple(self.configuration_manager.patch_size)
+        model = self.network
+        predictor = make_tile_predictor(
+            lambda v, x, t: model.apply(v, x, t, train=False),
+            patch_size, self.label_manager.num_segmentation_heads,
+            tile_batch=self.tile_batch if len(patch_size) == 2 else max(
+                1, self.tile_batch // 4),
+            mirror_axes=mirror_axes, use_gaussian=self.use_gaussian,
+            mesh=self._inference_mesh(), with_target=True)
+        return predict_sliding_window_return_logits(
+            None, np.asarray(data), patch_size,
+            self.label_manager.num_segmentation_heads,
+            tile_step_size=self.tile_step_size, mirror_axes=mirror_axes,
+            use_gaussian=self.use_gaussian, verbose=self.verbose,
+            predictor=predictor, variables=variables,
+            target_mask=np.asarray(target_mask),
+        )
+
     def _inference_mesh(self):
         """('data','model') mesh over the local devices when more than one is
         attached: tile batches shard over 'data' so the sliding window scales
