@@ -314,6 +314,113 @@ class nnUNetPredictor:
         )
         return ret
 
+    def get_data_iterator_from_raw_npy_data(
+            self, image_or_list_of_images,
+            segs_from_prev_stage_or_list_of_segs_from_prev_stage,
+            properties_or_list_of_properties, truncated_ofname,
+            num_processes: int = 3):
+        """Preprocessing iterator over in-memory arrays (ref :291-328): yields
+        dicts with 'data', 'data_properties', 'ofile'. Host preprocessing runs
+        in a bounded-lookahead thread pool (the TPU-native replacement for the
+        reference's spawn workers + size-1 queues, data_iterators.py:121-230)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        images = image_or_list_of_images
+        if not isinstance(images, list):
+            images = [images]
+        segs_prev = segs_from_prev_stage_or_list_of_segs_from_prev_stage
+        if segs_prev is None or isinstance(segs_prev, np.ndarray):
+            segs_prev = [segs_prev] * len(images)
+        props = properties_or_list_of_properties
+        if isinstance(props, dict):
+            props = [props] * len(images)
+        if truncated_ofname is None or isinstance(truncated_ofname, str):
+            truncated_ofname = [truncated_ofname] * len(images)
+
+        preprocessor = self.configuration_manager.preprocessor_class(
+            verbose=self.verbose_preprocessing)
+
+        def _prep(args):
+            img, prev, prop = args
+            prop = dict(prop)  # run_case_npy enriches it (crop bbox, shapes)
+            data, seg = preprocessor.run_case_npy(
+                img, prev[None] if prev is not None else None, prop,
+                self.plans_manager, self.configuration_manager,
+                self.dataset_json)
+            if prev is not None:
+                from dinounet_tpu.utilities.label_handling import (
+                    convert_labelmap_to_one_hot,
+                )
+
+                data = np.vstack((data, convert_labelmap_to_one_hot(
+                    seg[0], self.label_manager.foreground_labels, data.dtype)))
+            return data, prop
+
+        def gen():
+            n_workers = max(1, min(num_processes, len(images)))
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                jobs = deque(zip(images, segs_prev, props))
+                inflight = deque()
+                while jobs and len(inflight) < n_workers + 1:
+                    inflight.append(pool.submit(_prep, jobs.popleft()))
+                for ofile in truncated_ofname:
+                    data, prop = inflight.popleft().result()
+                    if jobs:
+                        inflight.append(pool.submit(_prep, jobs.popleft()))
+                    yield {"data": data, "data_properties": prop,
+                           "ofile": ofile}
+
+        return gen()
+
+    def predict_from_data_iterator(self, data_iterator,
+                                   save_probabilities: bool = False,
+                                   num_processes_segmentation_export: int = 3):
+        """Predict every item of an iterator of {'data', 'data_properties',
+        'ofile'} dicts (ref :348-427): ofile set -> written to disk, else the
+        segmentation (or (segmentation, probabilities)) is returned."""
+        from dinounet_tpu.inference.export import (
+            convert_predicted_logits_to_segmentation_with_correct_shape,
+        )
+
+        ret = []
+        for item in data_iterator:
+            data = item["data"]
+            if isinstance(data, str):  # npy spillover file (ref :364-367)
+                path = data
+                data = np.load(path)
+                os.remove(path)
+            logits = self.predict_logits_from_preprocessed_data(data)
+            properties = item["data_properties"]
+            ofile = item.get("ofile")
+            if ofile is not None:
+                export_prediction_from_logits(
+                    logits, properties, self.configuration_manager,
+                    self.plans_manager, self.dataset_json, ofile,
+                    save_probabilities)
+                ret.append(ofile)
+            else:
+                ret.append(
+                    convert_predicted_logits_to_segmentation_with_correct_shape(
+                        logits, self.plans_manager, self.configuration_manager,
+                        self.label_manager, properties,
+                        return_probabilities=save_probabilities))
+        return ret
+
+    def predict_from_list_of_npy_arrays(
+            self, image_or_list_of_images,
+            segs_from_prev_stage_or_list_of_segs_from_prev_stage,
+            properties_or_list_of_properties, truncated_ofname,
+            num_processes: int = 3, save_probabilities: bool = False,
+            num_processes_segmentation_export: int = 3):
+        """ref :330-346."""
+        iterator = self.get_data_iterator_from_raw_npy_data(
+            image_or_list_of_images,
+            segs_from_prev_stage_or_list_of_segs_from_prev_stage,
+            properties_or_list_of_properties, truncated_ofname, num_processes)
+        return self.predict_from_data_iterator(
+            iterator, save_probabilities, num_processes_segmentation_export)
+
     def predict_from_files(self, list_of_lists_or_source_folder,
                            output_folder_or_list_of_truncated_output_files,
                            save_probabilities: bool = False, overwrite: bool = True,
