@@ -566,5 +566,45 @@ def predict_entry_point():
     )
 
 
+def predict_entry_point_modelfolder():
+    """Prediction CLI taking an explicit model folder (ref
+    predict_from_raw_data.py:779-871) — for when the nnUNet_results env var
+    is not set."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-i", type=str, required=True, help="input folder")
+    parser.add_argument("-o", type=str, required=True, help="output folder")
+    parser.add_argument("-m", type=str, required=True,
+                        help="trained model folder (…/TrainerName__plans__config)")
+    parser.add_argument("-f", nargs="+", type=str, default=(0, 1, 2, 3, 4))
+    parser.add_argument("-step_size", type=float, default=0.5)
+    parser.add_argument("--disable_tta", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--save_probabilities", action="store_true")
+    parser.add_argument("--continue_prediction", action="store_true")
+    parser.add_argument("-chk", type=str, default="checkpoint_final.pth")
+    parser.add_argument("-npp", type=int, default=3)
+    parser.add_argument("-nps", type=int, default=3)
+    parser.add_argument("-prev_stage_predictions", type=str, default=None)
+    parser.add_argument("-device", type=str, default=None,
+                        help="compat flag; JAX owns device selection")
+    args = parser.parse_args()
+    folds = [f if f == "all" else int(f) for f in args.f]
+
+    predictor = nnUNetPredictor(
+        tile_step_size=args.step_size, use_gaussian=True,
+        use_mirroring=not args.disable_tta, verbose=args.verbose,
+    )
+    predictor.initialize_from_trained_model_folder(args.m, folds, args.chk)
+    predictor.predict_from_files(
+        args.i, args.o, save_probabilities=args.save_probabilities,
+        overwrite=not args.continue_prediction,
+        num_processes_preprocessing=args.npp,
+        num_processes_segmentation_export=args.nps,
+        folder_with_segs_from_prev_stage=args.prev_stage_predictions,
+    )
+
+
 if __name__ == "__main__":
     predict_entry_point()
