@@ -9,10 +9,43 @@ else the top output.
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from dinounet_tpu.models.layers import StackedConvBlocks, TransposedConv
+
+
+class SegHead(nn.Module):
+    """1x1(x1) conv to num_classes with fp32 logits.
+
+    Param layout is identical to nn.Conv (kernel (1,..,1,C,K) + bias), so
+    checkpoints are unchanged. bf16 feature maps are contracted directly in
+    bf16 (f32 MXU accumulation) instead of first materializing an fp32 copy
+    of the highest-resolution decoder tensor; fp32 inputs use full fp32 math.
+    """
+    num_classes: int
+    rank: int  # spatial rank (2 or 3)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1,) * self.rank + (C, self.num_classes), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_classes,), jnp.float32)
+        w = kernel.reshape(C, self.num_classes)
+        if x.dtype == jnp.bfloat16:
+            y = jax.lax.dot_general(
+                x, w.astype(jnp.bfloat16),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            y = jnp.einsum("...c,ck->...k", x.astype(jnp.float32), w)
+        return y + bias
 
 
 class UNetDecoder(nn.Module):
@@ -53,11 +86,14 @@ class UNetDecoder(nn.Module):
                 conv_bias=self.conv_bias, dtype=self.dtype, name=f"stage{s - 1}",
             )(x, train=train)
             # seg heads are always constructed (checkpoint compat, ref :594-597);
-            # fp32 logits for a stable loss
-            seg = nn.Conv(
-                self.num_classes, (1,) * len(stride), use_bias=True,
-                dtype=jnp.float32, name=f"seg{s - 1}",
-            )(x.astype(jnp.float32))
+            # fp32 logits for a stable loss. In bf16 mode the input feature map
+            # streams in bf16 with f32 accumulation — pre-casting the full-res
+            # map to fp32 materializes a 2x-sized copy of the largest decoder
+            # tensor just to feed a 1x1 conv.
+            seg = SegHead(
+                self.num_classes, rank=len(stride), dtype=self.dtype,
+                name=f"seg{s - 1}",
+            )(x)
             seg_outputs.append(seg)
             lres = x
 

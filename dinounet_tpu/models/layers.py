@@ -228,15 +228,21 @@ def _resize_matrix(src: int, dst: int, antialias: bool = False):
 
 def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize NHWC, matching F.interpolate(align_corners=False,
-    antialias=False) exactly, as two matmuls."""
+    antialias=False), as two matmuls.
+
+    bf16 inputs stream through the MXU in bf16 (f32 accumulation inside the
+    matmul): these resizes sit on 100+ MB activation maps where an fp32
+    intermediate doubles the HBM traffic. fp32 inputs keep full fp32 math
+    (the parity-test path)."""
     B, H, W, C = x.shape
     if (H, W) == tuple(size):
         return x
-    y = x.astype(jnp.float32)
+    ct = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    y = x.astype(ct)
     if size[0] != H:
-        y = jnp.einsum("hH,bHwc->bhwc", _resize_matrix(H, size[0]), y)
+        y = jnp.einsum("hH,bHwc->bhwc", jnp.asarray(_resize_matrix(H, size[0]), ct), y)
     if size[1] != W:
-        y = jnp.einsum("wW,bhWc->bhwc", _resize_matrix(W, size[1]), y)
+        y = jnp.einsum("wW,bhWc->bhwc", jnp.asarray(_resize_matrix(W, size[1]), ct), y)
     return y.astype(x.dtype)
 
 
