@@ -496,21 +496,120 @@ def augment_batch_3d(key, data: jnp.ndarray, seg: jnp.ndarray, cfg: AugmentConfi
 # ----------------------------------------------------------------- cascade
 
 
+def _dilate_in_mask(x, mask, nd: int):
+    """One 4-connectivity (cross) growth step of x restricted to mask.
+
+    Per-axis (1,3) max-pool with a mask-clamp after each axis: diagonal
+    neighbours are only reached through an in-mask intermediate, which is
+    exactly 4-(/6-)connectivity — matching scipy.ndimage.label's default
+    structuring element (the reference's component labelling,
+    acvl_utils label_with_component_sizes)."""
+    for ax in range(nd):
+        win = [1] * nd
+        win[ax] = 3
+        pad = [(0, 0)] * nd
+        pad[ax] = (1, 1)
+        grown = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, tuple(win), (1,) * nd, pad)
+        x = jnp.minimum(jnp.maximum(x, grown), mask)
+    return x
+
+
+def component_of_seed(mask, seed, max_iters: int = 512):
+    """Flood-fill the connected component of `mask` (float 0/1) containing
+    `seed` (float 0/1 one-hot map), 4-connectivity, as a lax.while_loop to
+    fixpoint. Returns the component as a float 0/1 map."""
+    nd = mask.ndim
+
+    def cond(state):
+        _, it, changed = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        cur, it, _ = state
+        new = _dilate_in_mask(cur, mask, nd)
+        return new, it + 1, jnp.any(new > cur)
+
+    comp, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.minimum(seed, mask), jnp.int32(0), jnp.bool_(True)))
+    return comp
+
+
+def remove_random_component(key, onehot: jnp.ndarray,
+                            p_per_sample: float = 0.2,
+                            fill_with_other_class_p: float = 0.0,
+                            max_covered_frac: float = 0.15,
+                            max_iters: int = 512):
+    """RemoveRandomConnectedComponentFromOneHotEncodingTransform, on device.
+
+    ref: cascade_transforms.py:99-125, wired at nnUNetTrainer.py:754-759
+    (p_per_sample 0.2, fill_with_other_class_p 0, max covered 0.15): with
+    p_per_sample, every one-hot channel has one connected component removed
+    if it covers < max_covered_frac of the patch; optionally the removed
+    region is marked in a random other channel.
+
+    The component is found by uniform-random foreground seed + flood fill
+    (component_of_seed). Deviation from the reference: the removed component
+    is chosen size-weighted (uniform over foreground pixels) instead of
+    uniform over component ids, and an oversized pick is a no-op rather than
+    re-drawn — the labelling itself is exact.
+
+    onehot: (*spatial, F) float 0/1. Returns same shape/dtype.
+    """
+    F = onehot.shape[-1]
+    spatial = onehot.shape[:-1]
+    n_vox = float(np.prod(spatial))
+    k_sample, k_ch = jax.random.split(key)
+    apply_sample = jax.random.uniform(k_sample) < p_per_sample
+
+    chans = [onehot[..., c] for c in range(F)]
+    comps = []
+    for c in range(F):
+        k_seed, k_fill, k_other = jax.random.split(
+            jax.random.fold_in(k_ch, c), 3)
+        ch = chans[c]
+        mask = (ch > 0.5).astype(jnp.float32)
+        has_fg = jnp.any(mask > 0)
+        # uniform random foreground pixel via random-score argmax
+        scores = jnp.where(mask > 0, jax.random.uniform(k_seed, spatial), -1.0)
+        flat = jnp.argmax(scores.reshape(-1))
+        seed = jnp.zeros((int(np.prod(spatial)),), jnp.float32
+                         ).at[flat].set(1.0).reshape(spatial)
+        comp = component_of_seed(mask, seed, max_iters)
+        size = comp.sum()
+        do_remove = apply_sample & has_fg & (size < max_covered_frac * n_vox)
+        comp = jnp.where(do_remove, comp, jnp.zeros_like(comp))
+        comps.append(comp)
+        chans[c] = ch * (1.0 - comp)
+        if F > 1 and fill_with_other_class_p > 0:
+            do_fill = do_remove & (jax.random.uniform(k_fill)
+                                   < fill_with_other_class_p)
+            other = jax.random.randint(k_other, (), 0, F - 1)
+            other = jnp.where(other >= c, other + 1, other)
+            for o in range(F):
+                if o == c:
+                    continue
+                sel = do_fill & (other == o)
+                chans[o] = jnp.where(sel, jnp.maximum(chans[o], comp), chans[o])
+    return jnp.stack(chans, axis=-1)
+
+
 def cascade_onehot_augment(key, prev_labelmap: jnp.ndarray,
                            foreground_labels: Tuple[int, ...],
                            p_binary_op: float = 0.4,
-                           strel_radii: Tuple[int, ...] = (1, 2, 3)):
+                           strel_radii: Tuple[int, ...] = (1, 2, 3),
+                           p_remove_component: float = 0.2):
     """Previous-stage seg -> augmented one-hot data channels (cascade training).
 
-    ref: MoveSegAsOneHotToData + ApplyRandomBinaryOperator
-    (training/data_augmentation/custom_transforms/cascade_transforms.py:10-70,
-    wired at nnUNetTrainer.py:743-767): each one-hot channel independently gets
-    a random morphological op with p=0.4. Dilation/erosion run as max/min pools
+    ref: MoveSegAsOneHotToData + ApplyRandomBinaryOperator +
+    RemoveRandomConnectedComponentFromOneHotEncoding
+    (training/data_augmentation/custom_transforms/cascade_transforms.py:10-125,
+    wired at nnUNetTrainer.py:743-759): each one-hot channel independently gets
+    a random morphological op with p=0.4, then with p=0.2 one connected
+    component per channel is removed (remove_random_component — exact
+    flood-fill labelling on device). Dilation/erosion run as max/min pools
     (reduce_window) with a random square structure element; opening/closing are
-    their compositions. The reference's RemoveRandomConnectedComponent (p=0.2)
-    needs connected-component labelling, which is not expressible as a
-    fixed-shape XLA op — documented deviation: erosion serves as the
-    drop-small-structures analogue.
+    their compositions.
 
     prev_labelmap: (..., spatial) int; returns float one-hot (..., spatial, F).
     """
@@ -551,4 +650,9 @@ def cascade_onehot_augment(key, prev_labelmap: jnp.ndarray,
         op_idx = jax.random.randint(k_op, (), 0, 4)
         morphed = jnp.stack([dil, ero, opened, closed])[op_idx]
         out.append(jnp.where(apply, morphed, ch))
-    return jnp.stack(out, axis=-1)
+    out = jnp.stack(out, axis=-1)
+    if p_remove_component > 0:
+        out = remove_random_component(
+            jax.random.fold_in(key, 0x5eed), out,
+            p_per_sample=p_remove_component)
+    return out

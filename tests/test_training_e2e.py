@@ -167,6 +167,126 @@ class TestAugment3D:
             np.testing.assert_allclose(interior, float(z), atol=1e-4)
 
 
+class TestRemoveRandomComponent:
+    """remove_random_component: exact on-device connected-component removal
+    (ref: cascade_transforms.py RemoveRandomConnectedComponentFromOneHot...,
+    p_per_sample 0.2 / max covered 0.15 at nnUNetTrainer.py:754-759)."""
+
+    def _mask_with_components(self, rng, shape=(24, 24), n_blobs=4):
+        import scipy.ndimage as ndi
+
+        m = np.zeros(shape, np.float32)
+        for _ in range(n_blobs):
+            y, x = rng.integers(2, shape[0] - 5), rng.integers(2, shape[1] - 5)
+            m[y:y + rng.integers(2, 4), x:x + rng.integers(2, 4)] = 1.0
+        lab, n = ndi.label(m)  # default 4-connectivity, like the reference
+        return m, lab, n
+
+    def test_flood_fill_matches_scipy_component(self):
+        import jax
+        import jax.numpy as jnp
+        import scipy.ndimage as ndi
+
+        from dinounet_tpu.training.augmentation import component_of_seed
+
+        rng = np.random.default_rng(3)
+        for trial in range(5):
+            m, lab, n = self._mask_with_components(rng)
+            if n == 0:
+                continue
+            fg = np.argwhere(m > 0)
+            sy, sx = fg[rng.integers(len(fg))]
+            seed = np.zeros_like(m)
+            seed[sy, sx] = 1.0
+            comp = np.asarray(component_of_seed(jnp.asarray(m), jnp.asarray(seed)))
+            expected = (lab == lab[sy, sx]).astype(np.float32)
+            np.testing.assert_array_equal(comp, expected)
+
+    def test_flood_fill_3d(self):
+        import jax.numpy as jnp
+        import scipy.ndimage as ndi
+
+        from dinounet_tpu.training.augmentation import component_of_seed
+
+        m = np.zeros((8, 8, 8), np.float32)
+        m[1:3, 1:3, 1:3] = 1.0
+        m[5:7, 5:7, 5:7] = 1.0
+        seed = np.zeros_like(m)
+        seed[1, 1, 1] = 1.0
+        comp = np.asarray(component_of_seed(jnp.asarray(m), jnp.asarray(seed)))
+        lab, _ = ndi.label(m)
+        np.testing.assert_array_equal(comp, (lab == lab[1, 1, 1]))
+
+    def test_removes_exactly_one_full_component(self):
+        import jax
+        import jax.numpy as jnp
+        import scipy.ndimage as ndi
+
+        from dinounet_tpu.training.augmentation import remove_random_component
+
+        rng = np.random.default_rng(7)
+        m, lab, n = self._mask_with_components(rng)
+        assert n >= 2
+        onehot = jnp.asarray(m)[..., None]
+        out = np.asarray(remove_random_component(
+            jax.random.PRNGKey(1), onehot, p_per_sample=1.0))[..., 0]
+        removed = m - out
+        assert removed.min() >= 0  # only removals
+        # the removed region is exactly one scipy-labelled component
+        ids = np.unique(lab[removed > 0])
+        assert len(ids) == 1
+        np.testing.assert_array_equal(removed > 0, lab == ids[0])
+
+    def test_oversized_component_is_kept(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import remove_random_component
+
+        m = np.zeros((16, 16), np.float32)
+        m[2:14, 2:14] = 1.0  # 144/256 = 56% > 15% cap
+        out = np.asarray(remove_random_component(
+            jax.random.PRNGKey(0), jnp.asarray(m)[..., None], p_per_sample=1.0))
+        np.testing.assert_array_equal(out[..., 0], m)
+
+    def test_fill_with_other_class(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import remove_random_component
+
+        oh = np.zeros((16, 16, 2), np.float32)
+        oh[3:5, 3:5, 0] = 1.0
+        # channels are processed sequentially on the mutated data (reference
+        # semantics: data[b, c] loop in cascade_transforms.py:62-83), so with
+        # fill p=1 the region ping-pongs between channels but is conserved
+        # pixelwise across the channel union; with fill p=0 it is dropped.
+        out_fill = np.asarray(remove_random_component(
+            jax.random.PRNGKey(2), jnp.asarray(oh), p_per_sample=1.0,
+            fill_with_other_class_p=1.0))
+        np.testing.assert_array_equal(out_fill.max(-1), oh.max(-1))
+        out_nofill = np.asarray(remove_random_component(
+            jax.random.PRNGKey(2), jnp.asarray(oh), p_per_sample=1.0,
+            fill_with_other_class_p=0.0))
+        np.testing.assert_array_equal(out_nofill, 0.0)
+
+    def test_vmapped_under_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import remove_random_component
+
+        oh = np.zeros((2, 12, 12, 1), np.float32)
+        oh[0, 2:4, 2:4, 0] = 1.0
+        oh[1, 5:9, 5:9, 0] = 1.0
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        f = jax.jit(jax.vmap(
+            lambda k, x: remove_random_component(k, x, p_per_sample=1.0)))
+        out = np.asarray(f(keys, jnp.asarray(oh)))
+        assert out.shape == oh.shape
+        assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
 class TestCascadeAugment:
     def test_onehot_shapes_and_identity(self):
         import jax
@@ -177,7 +297,7 @@ class TestCascadeAugment:
         prev = jnp.asarray(np.random.default_rng(0).integers(0, 3, (12, 12)),
                            jnp.int32)
         out = cascade_onehot_augment(jax.random.PRNGKey(0), prev, (1, 2),
-                                     p_binary_op=0.0)
+                                     p_binary_op=0.0, p_remove_component=0.0)
         assert out.shape == (12, 12, 2)
         np.testing.assert_array_equal(np.asarray(out[..., 0]),
                                       np.asarray(prev == 1).astype(np.float32))
