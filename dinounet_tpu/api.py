@@ -285,29 +285,46 @@ def training(
 def evaluate(
     dataset_id: Union[int, str],
     result_folder: str,
+    fold: Optional[Union[int, str]] = 0,
     output_file: Optional[str] = None,
     num_processes: int = 8,
     chill: bool = True,
 ) -> dict:
-    """ref api.py:590-656: gt = preprocessed/gt_segmentations, pred =
-    result_folder/validation; returns the summary dict."""
+    """ref api.py:590-656: gt = preprocessed/gt_segmentations; pred =
+    result_folder/validation when a fold is given (fold=None with no fold_N in
+    the path means test predictions, ref :632-639); returns the summary dict."""
     from dinounet_tpu.evaluation.metrics import compute_metrics_on_folder2, load_summary_json
 
     dataset_name = maybe_convert_to_dataset_name(dataset_id)
     preprocessed_folder = os.path.join(paths.nnUNet_preprocessed(), dataset_name)
     gt_folder = os.path.join(preprocessed_folder, "gt_segmentations")
-    pred_folder = os.path.join(result_folder, "validation")
+    if fold is None and "fold_" in result_folder:
+        fold = result_folder.split("fold_")[-1].split("/")[0]
+    pred_folder = os.path.join(
+        result_folder, "validation" if fold is not None else "test_predictions")
     if not os.path.isdir(pred_folder):
         pred_folder = result_folder
     if output_file is None:
         output_file = os.path.join(pred_folder, "summary.json")
 
+    # plans identifier comes from the result-folder naming convention
+    # <Trainer>__<plans>__<config> (ref api.py:628-630), with fallbacks to the
+    # plans.json copied into the results folder / the default identifier
+    plans_file = os.path.join(preprocessed_folder, "nnUNetPlans.json")
+    base = os.path.basename(os.path.dirname(result_folder.rstrip("/"))) \
+        if "fold_" in os.path.basename(result_folder.rstrip("/")) \
+        else os.path.basename(result_folder.rstrip("/"))
+    if "__" in base:
+        cand = os.path.join(preprocessed_folder, base.split("__")[1] + ".json")
+        if os.path.isfile(cand):
+            plans_file = cand
+    if os.path.isfile(os.path.join(result_folder, "plans.json")):
+        plans_file = os.path.join(result_folder, "plans.json")
+
     compute_metrics_on_folder2(
         gt_folder, pred_folder,
         os.path.join(preprocessed_folder, "dataset.json"),
-        os.path.join(result_folder, "plans.json")
-        if os.path.isfile(os.path.join(result_folder, "plans.json"))
-        else os.path.join(preprocessed_folder, "nnUNetPlans.json"),
+        plans_file,
         output_file=output_file, num_processes=num_processes, chill=chill,
     )
     return load_summary_json(output_file)

@@ -169,3 +169,52 @@ def test_surface(module, symbols, citation):
     missing = [s for s in symbols if not hasattr(mod, s)]
     assert not missing, (
         f"{module} is missing {missing} (reference: {citation})")
+
+
+def test_evaluate_prediction_routing(tmp_path, monkeypatch):
+    # (test name must not contain "fold": the reference parses the fold id by
+    # "fold_" substring anywhere in the path — api.py:619-620 — and pytest
+    # puts the test name into tmp_path)
+    """evaluate()'s gt/pred/plans resolution (ref api.py:609-639): fold given ->
+    result_folder/validation; fold=None parses fold_N from the path; fold=None
+    without fold_N in the path -> test_predictions; plans identifier comes from
+    the <Trainer>__<plans>__<config> folder name."""
+    import json
+    import os
+
+    from dinounet_tpu import api
+    from dinounet_tpu.evaluation import metrics as m
+
+    ds = "Dataset509_Routing"
+    prep = tmp_path / "preprocessed" / ds
+    prep.mkdir(parents=True)
+    (prep / "dataset.json").write_text("{}")
+    (prep / "myplans.json").write_text("{}")
+    monkeypatch.setenv("nnUNet_preprocessed", str(tmp_path / "preprocessed"))
+
+    res = tmp_path / "results" / ds / "TrainerA__myplans__2d" / "fold_0"
+    for sub in ("validation", "test_predictions"):
+        (res / sub).mkdir(parents=True, exist_ok=True)
+
+    calls = []
+    monkeypatch.setattr(
+        m, "compute_metrics_on_folder2",
+        lambda gt, pred, dsj, plans, output_file=None, num_processes=8,
+        chill=True: calls.append((gt, pred, plans)))
+    monkeypatch.setattr(m, "load_summary_json", lambda f: {"ok": True})
+
+    out = api.evaluate(509, str(res))  # fold defaults to 0
+    assert out == {"ok": True}
+    gt, pred, plans = calls[-1]
+    assert gt.endswith("gt_segmentations")
+    assert pred == str(res / "validation")
+    assert plans == str(prep / "myplans.json")
+
+    api.evaluate(509, str(res), fold=None)  # fold parsed from .../fold_0
+    assert calls[-1][1] == str(res / "validation")
+
+    nofold = tmp_path / "results" / ds / "TrainerA__myplans__2d"
+    (nofold / "test_predictions").mkdir(parents=True, exist_ok=True)
+    api.evaluate(509, str(nofold), fold=None)
+    assert calls[-1][1] == str(nofold / "test_predictions")
+    assert calls[-1][2] == str(prep / "myplans.json")
