@@ -182,12 +182,30 @@ class nnUNetPredictor:
     # ---------------- prediction ----------------
 
     def predict_logits_from_preprocessed_data(self, data: np.ndarray) -> np.ndarray:
-        """Average logits over fold checkpoints (ref :466-501)."""
-        prediction = None
+        """Average logits over fold checkpoints (ref :466-501).
+
+        The volume is uploaded once and the fold average is taken on device —
+        one device->host transfer of fp16 logits total, instead of one fp32
+        transfer (and one upload) per fold. fp16 output is the reference's
+        contract: it accumulates half-precision on device (ref :583-592) and
+        averages the half logits on CPU (ref :491-498).
+        """
+        from dinounet_tpu.inference.sliding_window import (
+            finalize_sliding_window_logits,
+            prepare_sliding_window_volume,
+        )
+
+        patch_size = tuple(self.configuration_manager.patch_size)
+        predictor = self._get_tile_predictor()
+        volume, offsets, revert = prepare_sliding_window_volume(
+            np.asarray(data), patch_size, self.tile_step_size)
+        accum_sum = None
         for params in self.list_of_parameters:
-            p = self.predict_sliding_window_return_logits(data, params)
-            prediction = p if prediction is None else prediction + p
-        return prediction / len(self.list_of_parameters)
+            accum, weights = predictor(volume, offsets, params)
+            accum_sum = accum if accum_sum is None else accum_sum + accum
+        n = len(self.list_of_parameters)
+        return finalize_sliding_window_logits(
+            accum_sum, weights * n, revert, out_dtype=np.float16)
 
     def _get_tile_predictor(self):
         """One compiled tile predictor per configuration, reused across all

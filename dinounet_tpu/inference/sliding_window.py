@@ -333,6 +333,48 @@ def make_tile_predictor(apply_fn: Callable, patch_size, num_classes: int,
         with_target=with_target)
 
 
+def prepare_sliding_window_volume(data: np.ndarray, patch_size,
+                                  tile_step_size: float = 0.5):
+    """Pad (C, Z, Y, X) host data to >= patch size, move channels last, upload
+    once, and build the tile-origin list. Returns (volume (Z, Y, X, C) device
+    array, offsets (N, 3) device array, revert slices).
+
+    Separated from predict_sliding_window_return_logits so multi-fold
+    prediction uploads the volume a single time (host<->device transfers, not
+    compute, dominate when the accelerator is remote)."""
+    assert data.ndim == 4, "data must be (C, Z, Y, X); 2-D inputs as (C, 1, Y, X)"
+    C, Z, Y, X = data.shape
+    if len(patch_size) == 2:
+        target = (Z, max(Y, patch_size[0]), max(X, patch_size[1]))
+    else:
+        target = (max(Z, patch_size[0]), max(Y, patch_size[1]),
+                  max(X, patch_size[2]))
+    padded, revert = pad_nd_image(data, target)
+    _, Zp, Yp, Xp = padded.shape
+    volume = jnp.asarray(np.moveaxis(padded, 0, -1))
+    if len(patch_size) == 2:
+        offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
+    else:
+        offsets = sliding_window_offsets_3d((Zp, Yp, Xp), patch_size, tile_step_size)
+    return volume, jnp.asarray(offsets), revert
+
+
+def finalize_sliding_window_logits(accum, weights, revert,
+                                   out_dtype=np.float32) -> np.ndarray:
+    """accum/weights device arrays -> host logits (num_classes, Z, Y, X):
+    divide, single device->host transfer, inf check, un-pad."""
+    logits = np.asarray((accum / weights).astype(jnp.dtype(out_dtype)))
+    if not np.all(np.isfinite(logits)):
+        raise RuntimeError(
+            "Encountered inf in predicted array. Aborting... If this problem persists, "
+            "reduce value_scaling_factor in compute_gaussian or increase the dtype of "
+            "the accumulation."
+        )
+    logits = np.moveaxis(logits, -1, 0)
+    sl = (slice(None),) + tuple(slice(lo, hi) for lo, hi in revert)
+    return logits[sl]
+
+
 def predict_sliding_window_return_logits(
     apply_fn: Optional[Callable], data: np.ndarray, patch_size: Tuple[int, int],
     num_classes: int, tile_step_size: float = 0.5,
@@ -358,25 +400,12 @@ def predict_sliding_window_return_logits(
     Returns logits (num_classes, Z, Y, X) on host, matching the reference's
     output contract (ref predict_from_raw_data.py:680-776).
     """
-    assert data.ndim == 4, "data must be (C, Z, Y, X); 2-D inputs as (C, 1, Y, X)"
-    C, Z, Y, X = data.shape
-    if len(patch_size) == 2:
-        target = (Z, max(Y, patch_size[0]), max(X, patch_size[1]))
-    else:
-        target = (max(Z, patch_size[0]), max(Y, patch_size[1]),
-                  max(X, patch_size[2]))
-    padded, revert = pad_nd_image(data, target)
-    _, Zp, Yp, Xp = padded.shape
-
-    volume = jnp.asarray(np.moveaxis(padded, 0, -1))  # (Z, Y, X, C)
+    volume, offsets, revert = prepare_sliding_window_volume(
+        data, patch_size, tile_step_size)
     with_target = target_mask is not None
     if with_target:
-        padded_t, _ = pad_nd_image(target_mask, target)
-        target_vol = jnp.asarray(np.moveaxis(padded_t, 0, -1))
-    if len(patch_size) == 2:
-        offsets = sliding_window_offsets_2d((Zp, Yp, Xp), patch_size, tile_step_size)
-    else:
-        offsets = sliding_window_offsets_3d((Zp, Yp, Xp), patch_size, tile_step_size)
+        target_vol, _, _ = prepare_sliding_window_volume(
+            target_mask, patch_size, tile_step_size)
     if predictor is None:
         fn = (lambda _v, x, t: apply_fn(x, t)) if with_target \
             else (lambda _v, x: apply_fn(x))
@@ -385,21 +414,10 @@ def predict_sliding_window_return_logits(
             tile_batch=tile_batch, mirror_axes=mirror_axes,
             use_gaussian=use_gaussian, mesh=mesh, with_target=with_target)
     if with_target:
-        accum, weights = predictor(volume, jnp.asarray(offsets), variables,
-                                   target_vol)
+        accum, weights = predictor(volume, offsets, variables, target_vol)
     else:
-        accum, weights = predictor(volume, jnp.asarray(offsets), variables)
-    logits = accum / weights
-    logits = np.asarray(logits)
-    if not np.all(np.isfinite(logits)):
-        raise RuntimeError(
-            "Encountered inf in predicted array. Aborting... If this problem persists, "
-            "reduce value_scaling_factor in compute_gaussian or increase the dtype of "
-            "the accumulation."
-        )
-    logits = np.moveaxis(logits, -1, 0)  # (num_classes, Z, Y, X)
-    sl = (slice(None),) + tuple(slice(lo, hi) for lo, hi in revert)
-    return logits[sl]
+        accum, weights = predictor(volume, offsets, variables)
+    return finalize_sliding_window_logits(accum, weights, revert)
 
 
 def predict_sliding_window_return_logits_with_target(
