@@ -170,3 +170,65 @@ def plan_and_preprocess_entry():
 
 if __name__ == "__main__":
     plan_and_preprocess_entry()
+
+
+def extract_fingerprint_entry():
+    """CLI (ref plan_and_preprocess_entrypoints.py:5-27,
+    nnUNetv2_extract_fingerprint)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-d", nargs="+", type=int, required=True, help="dataset ids")
+    parser.add_argument("-fpe", type=str, default="DatasetFingerprintExtractor")
+    parser.add_argument("-np", type=int, default=8)
+    parser.add_argument("--verify_dataset_integrity", action="store_true")
+    parser.add_argument("--clean", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    args, _ = parser.parse_known_args()
+    if args.fpe != "DatasetFingerprintExtractor":
+        raise SystemExit(f"unknown fingerprint extractor {args.fpe!r} "
+                         "(only DatasetFingerprintExtractor is built in)")
+    extract_fingerprints(args.d, num_processes=args.np,
+                         check_dataset_integrity=args.verify_dataset_integrity,
+                         clean=args.clean, verbose=args.verbose)
+
+
+def plan_experiment_entry():
+    """CLI (ref plan_and_preprocess_entrypoints.py:30-66,
+    nnUNetv2_plan_experiment)."""
+    import argparse
+
+    import dinounet_tpu.planning  # noqa: F401  (registers planners)
+    from dinounet_tpu.utilities import registry
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-d", nargs="+", type=int, required=True, help="dataset ids")
+    parser.add_argument("-pl", type=str, default="ExperimentPlanner")
+    parser.add_argument("-gpu_memory_target", type=float, default=8)
+    parser.add_argument("-preprocessor_name", type=str, default="DefaultPreprocessor")
+    parser.add_argument("-overwrite_target_spacing", nargs="+", default=None)
+    parser.add_argument("-overwrite_plans_name", type=str, default=None)
+    args, _ = parser.parse_known_args()
+    plan_experiments(
+        args.d, experiment_planner_class=registry.planners.get(args.pl),
+        gpu_memory_target_in_gb=args.gpu_memory_target,
+        preprocess_class_name=args.preprocessor_name,
+        overwrite_target_spacing=args.overwrite_target_spacing,
+        overwrite_plans_name=args.overwrite_plans_name)
+
+
+def preprocess_entry():
+    """CLI (ref plan_and_preprocess_entrypoints.py:69-114, nnUNetv2_preprocess)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-d", nargs="+", type=int, required=True, help="dataset ids")
+    parser.add_argument("-plans_name", type=str, default="nnUNetPlans")
+    parser.add_argument("-c", nargs="+", type=str,
+                        default=["2d", "3d_fullres", "3d_lowres"])
+    parser.add_argument("-np", nargs="+", type=int, default=None)
+    parser.add_argument("--verbose", action="store_true")
+    args, _ = parser.parse_known_args()
+    default_np = {"2d": 8, "3d_fullres": 4, "3d_lowres": 8}
+    num_processes = args.np or [default_np.get(c, 4) for c in args.c]
+    preprocess(args.d, args.plans_name, args.c, num_processes, args.verbose)

@@ -15,8 +15,11 @@ SURFACE = [
      ["plan_and_preprocess", "training", "evaluate"],
      "dinounet/api.py:270,399,590"),
     ("dinounet_tpu.planning.plan_and_preprocess_api",
-     ["extract_fingerprints", "plan_experiments", "preprocess"],
-     "experiment_planning/plan_and_preprocess_api.py:35,80,146"),
+     ["extract_fingerprints", "plan_experiments", "preprocess",
+      "plan_and_preprocess_entry", "extract_fingerprint_entry",
+      "plan_experiment_entry", "preprocess_entry"],
+     "experiment_planning/plan_and_preprocess_api.py:35,80,146 + "
+     "plan_and_preprocess_entrypoints.py:5,30,69,117"),
     ("dinounet_tpu.planning.fingerprint",
      ["DatasetFingerprintExtractor"],
      "dataset_fingerprint/fingerprint_extractor.py:18"),
