@@ -297,3 +297,36 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# reference name for the CLI (ref find_best_configuration.py:271)
+find_best_configuration_entry_point = main
+
+
+def accumulate_crossval_results_entry_point():
+    """Merge the fold validations of one configuration and evaluate them
+    (ref find_best_configuration.py:300-325, nnUNetv2_accumulate_crossval_results)."""
+    parser = argparse.ArgumentParser(
+        "Copies all predicted segmentations from the individual folds into "
+        "one joint folder and evaluates them")
+    parser.add_argument("dataset_name_or_id", type=str)
+    parser.add_argument("-c", type=str, required=True, help="configuration")
+    parser.add_argument("-o", type=str, default=None, help="output folder")
+    parser.add_argument("-f", nargs="+", type=int, default=(0, 1, 2, 3, 4))
+    parser.add_argument("-p", type=str, default="nnUNetPlans")
+    parser.add_argument("-tr", type=str, default="nnUNetTrainer")
+    args = parser.parse_args()
+
+    from dinounet_tpu.evaluation.accumulate_cv_results import accumulate_cv_results
+    from dinounet_tpu.utilities.misc import (
+        convert_identifier_to_trained_model_output_folder,
+        maybe_convert_to_dataset_name,
+    )
+
+    dataset_name = maybe_convert_to_dataset_name(args.dataset_name_or_id)
+    trained_model_folder = convert_identifier_to_trained_model_output_folder(
+        dataset_name, args.tr, args.p, args.c)
+    merged = args.o or os.path.join(
+        trained_model_folder,
+        f"crossval_results_folds_{folds_tuple_to_string(args.f)}")
+    accumulate_cv_results(trained_model_folder, merged, args.f)

@@ -261,3 +261,43 @@ def evaluate_folder_entry_point():
 
 if __name__ == "__main__":
     evaluate_folder_entry_point()
+
+
+def compute_metrics_on_folder_simple(
+        folder_ref: str, folder_pred: str,
+        labels: Union[Tuple[int, ...], List[int]],
+        output_file: Optional[str] = None, num_processes: int = 8,
+        ignore_label: Optional[int] = None, chill: bool = False) -> dict:
+    """Evaluate without dataset/plans jsons: labels given explicitly, the
+    reader/writer probed from the gt file ending (ref :327-340)."""
+    from dinounet_tpu.imageio.reader_writer_registry import (
+        determine_reader_writer_from_file_ending,
+    )
+
+    example_file = subfiles(folder_ref, join=True)[0]
+    file_ending = os.path.splitext(example_file)[-1]
+    rw = determine_reader_writer_from_file_ending(file_ending, example_file)()
+    if output_file is None:
+        output_file = os.path.join(folder_pred, "summary.json")
+    return compute_metrics_on_folder(
+        folder_ref, folder_pred, output_file, rw, file_ending, list(labels),
+        ignore_label=ignore_label, num_processes=num_processes, chill=chill)
+
+
+def evaluate_simple_entry_point():
+    """Evaluation CLI without dataset/plans jsons (ref :361-378,
+    nnUNetv2_evaluate_simple)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("gt_folder", type=str)
+    parser.add_argument("pred_folder", type=str)
+    parser.add_argument("-l", type=int, nargs="+", required=True, help="labels")
+    parser.add_argument("-il", type=int, default=None, help="ignore label")
+    parser.add_argument("-o", type=str, default=None, help="output summary.json")
+    parser.add_argument("-np", type=int, default=8)
+    parser.add_argument("--chill", action="store_true")
+    args = parser.parse_args()
+    compute_metrics_on_folder_simple(
+        args.gt_folder, args.pred_folder, args.l, args.o, args.np, args.il,
+        chill=args.chill)

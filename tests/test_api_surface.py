@@ -35,6 +35,18 @@ SURFACE = [
     ("dinounet_tpu.planning.verify",
      ["verify_dataset_integrity"],
      "experiment_planning/verify_dataset_integrity.py:119"),
+    ("dinounet_tpu.planning.move_plans_between_datasets",
+     ["move_plans_between_datasets", "entry_point_move_plans_between_datasets"],
+     "experiment_planning/plans_for_pretraining/move_plans_between_datasets.py:14,65"),
+    ("dinounet_tpu.evaluation.metrics",
+     ["compute_metrics_on_folder", "compute_metrics_on_folder2",
+      "compute_metrics_on_folder_simple", "evaluate_folder_entry_point",
+      "evaluate_simple_entry_point"],
+     "evaluation/evaluate_predictions.py:238,305,327,343,361"),
+    ("dinounet_tpu.evaluation.find_best_configuration",
+     ["find_best_configuration", "find_best_configuration_entry_point",
+      "accumulate_crossval_results_entry_point"],
+     "evaluation/find_best_configuration.py:81,271,300"),
     ("dinounet_tpu.preprocessing.preprocessor",
      ["DefaultPreprocessor"],
      "preprocessing/preprocessors/default_preprocessor.py:33"),

@@ -175,3 +175,42 @@ class TestEndToEndPlanning:
         cm = pm.get_configuration("custom")
         assert cm.batch_size == 99
         assert cm.patch_size == pm.get_configuration("2d").patch_size
+
+
+def test_move_plans_between_datasets(tmp_path, monkeypatch):
+    """move_plans_between_datasets rewrites dataset_name, data_identifier,
+    plans_name and the probed reader/writer (ref plans_for_pretraining/
+    move_plans_between_datasets.py:14-87)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_png_dataset
+
+    for sub in ("raw", "preprocessed", "results"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    monkeypatch.setenv("nnUNet_raw", str(tmp_path / "raw"))
+    monkeypatch.setenv("nnUNet_preprocessed", str(tmp_path / "preprocessed"))
+    monkeypatch.setenv("nnUNet_results", str(tmp_path / "results"))
+    make_png_dataset(str(tmp_path / "raw"), "Dataset511_Src", n_cases=2,
+                     size=(40, 36))
+    make_png_dataset(str(tmp_path / "raw"), "Dataset512_Tgt", n_cases=2,
+                     size=(40, 36))
+
+    from dinounet_tpu.planning.fingerprint import DatasetFingerprintExtractor
+    from dinounet_tpu.planning.move_plans_between_datasets import (
+        move_plans_between_datasets,
+    )
+    from dinounet_tpu.planning.planner import ExperimentPlanner
+    from dinounet_tpu.utilities.json_export import load_json
+
+    DatasetFingerprintExtractor(511, 1, verbose=False).run()
+    ExperimentPlanner(511).plan_experiment()
+
+    out = move_plans_between_datasets(511, 512, "nnUNetPlans", "movedPlans")
+    moved = load_json(out)
+    assert moved["dataset_name"] == "Dataset512_Tgt"
+    assert moved["plans_name"] == "movedPlans"
+    assert moved["image_reader_writer"] == "NaturalImage2DIO"
+    for c, cfg in moved["configurations"].items():
+        if "data_identifier" in cfg:
+            assert cfg["data_identifier"].startswith("movedPlans")
