@@ -60,11 +60,21 @@ def soft_dice_loss(probs: jnp.ndarray, target: jnp.ndarray, *,
     return -dc.mean()
 
 
+def _nll_at_labels(logp: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """-logp[..., target] via a one-hot contraction: XLA lowers
+    take_along_axis over the minor class axis to a scalar gather that costs
+    more than the whole loss (7.2 ms/step measured on dinounet_b); the
+    one-hot multiply-sum is a fused elementwise pass over C values/voxel."""
+    C = logp.shape[-1]
+    onehot = jax.nn.one_hot(target.astype(jnp.int32), C, dtype=logp.dtype)
+    return -(logp * onehot).sum(-1)
+
+
 def robust_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
                          loss_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Softmax CE over the last axis; target int labels (ref robust_ce_loss.py:6)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    nll = _nll_at_labels(logp, target)
     if loss_mask is not None:
         m = loss_mask[..., 0] if loss_mask.ndim == nll.ndim + 1 else loss_mask
         return (nll * m).sum() / jnp.clip(m.sum(), 1e-8)
@@ -74,7 +84,7 @@ def robust_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
 def topk_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray, k: float = 10.0) -> jnp.ndarray:
     """Mean over the top-k% highest per-voxel CE values (ref robust_ce_loss.py:19)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    nll = _nll_at_labels(logp, target)
     flat = nll.reshape(-1)
     n_keep = max(1, int(flat.shape[0] * k / 100))
     topk_vals, _ = jax.lax.top_k(flat, n_keep)
