@@ -124,6 +124,37 @@ class LayerNormFp32(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding as explicit patchify + one MXU matmul.
+
+    Param layout is identical to nn.Conv (kernel (p, p, C, E) + bias), so
+    checkpoints are unchanged. The stride-p conv formulation measures ~40%
+    slower on TPU at DinoUNet shapes: the conv emitter inherits awkward
+    layouts from the channel-replicate producer, while the reshape/transpose
+    here lowers to plain relayouts feeding a (B*h*w, p*p*C) x (p*p*C, E) dot.
+    (ref: dinov3/layers/patch_embed.py:21-89 — a Conv2d in torch.)
+    """
+    embed_dim: int
+    patch_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        B, H, W, C = x.shape
+        h, w = H // p, W // p
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, C, self.embed_dim), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
+        xr = x.reshape(B, h, p, w, p, C).transpose(0, 1, 3, 2, 4, 5)
+        xr = xr.reshape(B, h, w, p * p * C)
+        y = jax.lax.dot_general(
+            xr, kernel.reshape(p * p * C, self.embed_dim).astype(x.dtype),
+            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return (y + bias).astype(x.dtype)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
@@ -241,10 +272,7 @@ class DinoViT(nn.Module):
         p = cfg.patch_size
         h, w = H // p, W // p
 
-        patches = nn.Conv(
-            cfg.embed_dim, (p, p), strides=(p, p), padding="VALID", dtype=cdt,
-            name="patch_embed",
-        )(x.astype(cdt))
+        patches = PatchEmbed(cfg.embed_dim, p, name="patch_embed")(x.astype(cdt))
         tokens = patches.reshape(B, h * w, cfg.embed_dim)
 
         cls_token = self.param(
