@@ -446,9 +446,11 @@ class nnUNetPredictor:
                            num_processes_segmentation_export: int = 3,
                            folder_with_segs_from_prev_stage: Optional[str] = None,
                            num_parts: int = 1, part_id: int = 0):
-        """ref :207-346 (host pipeline simplified to sequential preprocessing +
-        device prediction; export is synchronous — the TPU does not wait on it
-        because the next case's preprocessing is host-side numpy)."""
+        """ref :207-346: preprocessing runs ahead in a bounded thread pool and
+        export (host resampling + writing) runs behind in a second bounded
+        pool — the device only ever waits on its own predictions, matching
+        the reference's spawn export pool + busy-wait backpressure
+        (ref :356-381)."""
         if isinstance(output_folder_or_list_of_truncated_output_files, str):
             os.makedirs(output_folder_or_list_of_truncated_output_files, exist_ok=True)
             import shutil
@@ -496,7 +498,29 @@ class nnUNetPredictor:
         while jobs and len(inflight) < n_workers + 1:
             inflight.append(pool.submit(_prep, jobs.popleft()))
 
+        export_pool = ThreadPoolExecutor(
+            max_workers=max(1, num_processes_segmentation_export))
+        export_futures = deque()
         ret = []
+
+        def _export_named(logits, properties, out_trunc):
+            export_prediction_from_logits(
+                logits, properties, self.configuration_manager, self.plans_manager,
+                self.dataset_json, out_trunc, save_probabilities,
+            )
+            return out_trunc
+
+        def _export_inmem(logits, properties):
+            from dinounet_tpu.inference.export import (
+                convert_predicted_logits_to_segmentation_with_correct_shape,
+            )
+
+            return convert_predicted_logits_to_segmentation_with_correct_shape(
+                logits, self.plans_manager, self.configuration_manager,
+                self.label_manager, properties,
+                return_probabilities=save_probabilities,
+            )
+
         for out_trunc, prev in zip(output_files, seg_prev):
             data, seg, properties = inflight.popleft().result()
             if jobs:
@@ -512,24 +536,19 @@ class nnUNetPredictor:
                     seg[0], self.label_manager.foreground_labels, data.dtype)))
             logits = self.predict_logits_from_preprocessed_data(data)
             if out_trunc is not None:
-                export_prediction_from_logits(
-                    logits, properties, self.configuration_manager, self.plans_manager,
-                    self.dataset_json, out_trunc, save_probabilities,
-                )
-                ret.append(out_trunc)
+                export_futures.append(
+                    export_pool.submit(_export_named, logits, properties, out_trunc))
             else:
-                from dinounet_tpu.inference.export import (
-                    convert_predicted_logits_to_segmentation_with_correct_shape,
-                )
-
-                ret.append(
-                    convert_predicted_logits_to_segmentation_with_correct_shape(
-                        logits, self.plans_manager, self.configuration_manager,
-                        self.label_manager, properties,
-                        return_probabilities=save_probabilities,
-                    )
-                )
+                export_futures.append(
+                    export_pool.submit(_export_inmem, logits, properties))
+            # backpressure (the reference's check_workers_alive_and_busy):
+            # don't let exports pile up unboundedly behind the device
+            while len(export_futures) > 2 * max(1, num_processes_segmentation_export):
+                ret.append(export_futures.popleft().result())
+        while export_futures:
+            ret.append(export_futures.popleft().result())
         pool.shutdown(wait=False)
+        export_pool.shutdown(wait=True)
         return ret
 
 
