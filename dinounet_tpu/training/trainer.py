@@ -421,6 +421,7 @@ class nnUNetTrainer:
         fg_labels = tuple(self.label_manager.foreground_labels)
 
         def train_step(params, batch_stats, opt_state, data, seg, rng):
+            seg = seg.astype(jnp.int32)  # narrow wire dtype (see _batch_to_device)
             aug_rng, casc_rng, drop_rng = jax.random.split(rng, 3)
             if dim == 2:
                 data_a, seg_a = augment_batch_2d(aug_rng, data, seg, augment_cfg)
@@ -470,6 +471,7 @@ class nnUNetTrainer:
             return new_params, new_bs, new_opt, loss
 
         def val_step(params, batch_stats, data, seg):
+            seg = seg.astype(jnp.int32)  # narrow wire dtype (see _batch_to_device)
             if is_cascaded:
                 prev = jnp.where(seg[..., 1] < 0, 0, seg[..., 1])
                 seg = seg[..., 0]
@@ -555,13 +557,23 @@ class nnUNetTrainer:
 
     def _batch_to_device(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # loader: (B, C, *spatial) -> NHWC; seg (B, 1, *spatial) -> (B, *spatial)
-        # (cascade: seg keeps its channels last, (B, *spatial, 2))
+        # (cascade: seg keeps its channels last, (B, *spatial, 2)).
+        # The seg goes over the host->device link in the narrowest lossless
+        # integer dtype (labels are small; -1 may be present pre-augmentation)
+        # and is upcast to int32 inside the jitted step — on remote-attached
+        # accelerators the batch upload is a measurable slice of the
+        # iteration time.
         data = np.moveaxis(batch["data"], 1, -1)
         if self.is_cascaded:
-            seg = np.moveaxis(batch["seg"], 1, -1).astype(np.int32)
+            seg = np.moveaxis(batch["seg"], 1, -1)
         else:
-            seg = batch["seg"][:, 0].astype(np.int32)
-        return jnp.asarray(data), jnp.asarray(seg)
+            seg = batch["seg"][:, 0]
+        # fixed per-trainer wire dtype (per-batch min/max would retrace the step)
+        labels = [l for l in self.label_manager.all_labels]
+        if self.label_manager.has_ignore_label:
+            labels.append(self.label_manager.ignore_label)
+        wire = np.int8 if max(labels) <= 127 else np.int16
+        return jnp.asarray(data), jnp.asarray(seg.astype(wire))
 
     def train_step_host(self, batch) -> float:
         rng, self._rng = jax.random.split(self._rng)
@@ -583,9 +595,67 @@ class nnUNetTrainer:
     def current_lr(self) -> float:
         return poly_lr(self.initial_lr, self.current_epoch, self.num_epochs)
 
+    class _BatchPrefetcher:
+        """Background host thread generating batches a bounded distance ahead.
+
+        The reference keeps the GPU fed with batchgenerators worker processes
+        (nnUNetTrainer.py:643-649); here augmentation is on-device, so the
+        host work per iteration is just memmap patch extraction — one thread
+        with a depth-2 queue overlaps it with the device step.
+        """
+
+        def __init__(self, loader, depth: int = 2):
+            import queue
+            import threading
+
+            self._loader = loader
+            self._q = queue.Queue(maxsize=depth)
+            self._stop = threading.Event()
+            self._exc = None
+            self._t = threading.Thread(target=self._work, daemon=True)
+            self._t.start()
+
+        def _work(self):
+            import queue
+
+            try:
+                while not self._stop.is_set():
+                    batch = self._loader.generate_train_batch()
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # surfaced on the consumer side
+                self._exc = e
+
+        def next(self):
+            import queue
+
+            while True:
+                if self._exc is not None:
+                    raise self._exc
+                try:
+                    return self._q.get(timeout=1.0)
+                except queue.Empty:
+                    if not self._t.is_alive() and self._exc is None:
+                        raise RuntimeError("batch prefetcher thread died")
+
+        def close(self):
+            self._stop.set()
+
     def run_training(self):
         self.on_train_start()
         first_epoch = self.current_epoch
+        prefetch = self._BatchPrefetcher(self.dataloader_train)
+        try:
+            self._run_training_epochs(first_epoch, prefetch)
+        finally:
+            prefetch.close()
+        self.on_train_end()
+
+    def _run_training_epochs(self, first_epoch, prefetch):
         for epoch in range(self.current_epoch, self.num_epochs):
             self.logger.log("epoch_start_timestamps", time.time(), epoch)
             self.print_to_log_file(f"\nEpoch {epoch}")
@@ -602,7 +672,7 @@ class nnUNetTrainer:
             for it in range(self.num_iterations_per_epoch):
                 if do_profile and it == min(10, self.num_iterations_per_epoch - 1):
                     jax.profiler.start_trace(profile_dir)
-                batch = self.dataloader_train.generate_train_batch()
+                batch = prefetch.next()
                 train_losses.append(self.train_step_host(batch))
                 if do_profile and it == min(14, self.num_iterations_per_epoch - 1):
                     jax.device_get(train_losses[-1])  # drain before stopping
@@ -630,7 +700,6 @@ class nnUNetTrainer:
             self.logger.log("lrs", self.current_lr(), epoch)
             self.on_epoch_end(epoch)
             self.current_epoch = epoch + 1
-        self.on_train_end()
 
     def on_validation_epoch_end(self, val_loss, tp, fp, fn, epoch):
         """Global per-class Dice from summed counts (ref :1010-1052)."""
