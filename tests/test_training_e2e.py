@@ -533,6 +533,31 @@ def test_predictor_from_trained_folder(nnunet_env):
     assert seg.shape == tuple(img.shape[1:])
     assert set(np.unique(seg)).issubset({0, 1, 2})
 
+    # the nnUNetv2_predict-style CLIs on the same trained folder
+    import sys
+
+    from dinounet_tpu.inference.predictor import (
+        predict_entry_point,
+        predict_entry_point_modelfolder,
+    )
+
+    out_cli = str(nnunet_env / "preds_cli")
+    argv = sys.argv
+    try:
+        sys.argv = ["nnUNetv2_predict", "-i", in_folder, "-o", out_cli,
+                    "-d", "501", "-c", "2d", "-f", "0", "1", "--disable_tta"]
+        predict_entry_point()
+        assert len([f for f in os.listdir(out_cli) if f.endswith(".png")]) == 6
+
+        out_cli2 = str(nnunet_env / "preds_cli_mf")
+        sys.argv = ["nnUNetv2_predict_from_modelfolder", "-i", in_folder,
+                    "-o", out_cli2, "-m", model_folder, "-f", "0",
+                    "--disable_tta"]
+        predict_entry_point_modelfolder()
+        assert len([f for f in os.listdir(out_cli2) if f.endswith(".png")]) == 6
+    finally:
+        sys.argv = argv
+
 
 def test_region_based_training(tmp_path, monkeypatch):
     """Region-based training (overlapping targets + sigmoid/BCE, ref
