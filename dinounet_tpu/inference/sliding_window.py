@@ -334,21 +334,43 @@ def make_tile_predictor(apply_fn: Callable, patch_size, num_classes: int,
 
 
 def prepare_sliding_window_volume(data: np.ndarray, patch_size,
-                                  tile_step_size: float = 0.5):
+                                  tile_step_size: float = 0.5,
+                                  shape_bucketing: bool = True):
     """Pad (C, Z, Y, X) host data to >= patch size, move channels last, upload
     once, and build the tile-origin list. Returns (volume (Z, Y, X, C) device
     array, offsets (N, 3) device array, revert slices).
 
     Separated from predict_sliding_window_return_logits so multi-fold
     prediction uploads the volume a single time (host<->device transfers, not
-    compute, dominate when the accelerator is remote)."""
+    compute, dominate when the accelerator is remote).
+
+    shape_bucketing pads spatial sizes up to half-patch multiples (z of a
+    2-D net to multiples of 8): the jitted tile predictor specializes on the
+    padded volume shape, so without bucketing every distinct case shape in a
+    dataset costs a fresh multi-minute XLA compile. Padded regions carry zero
+    Gaussian weight outside the revert window and are sliced away; the tile
+    grid simply covers the (slightly) larger canvas — the same evenly-
+    redistributed <=half-patch stepping the reference uses on its padded
+    shape (ref sliding_window_prediction.py:32-56)."""
     assert data.ndim == 4, "data must be (C, Z, Y, X); 2-D inputs as (C, 1, Y, X)"
     C, Z, Y, X = data.shape
+
+    def up(v, q):
+        return -(-v // q) * q
+
     if len(patch_size) == 2:
         target = (Z, max(Y, patch_size[0]), max(X, patch_size[1]))
+        if shape_bucketing:
+            qy = max(1, patch_size[0] // 2)
+            qx = max(1, patch_size[1] // 2)
+            target = (up(Z, 8) if Z > 1 else Z,
+                      up(target[1], qy), up(target[2], qx))
     else:
         target = (max(Z, patch_size[0]), max(Y, patch_size[1]),
                   max(X, patch_size[2]))
+        if shape_bucketing:
+            qs = [max(1, p // 2) for p in patch_size]
+            target = tuple(up(t, q) for t, q in zip(target, qs))
     padded, revert = pad_nd_image(data, target)
     _, Zp, Yp, Xp = padded.shape
     volume = jnp.asarray(np.moveaxis(padded, 0, -1))

@@ -146,3 +146,51 @@ class TestWithTarget:
             (16, 16, 16), num_classes=1, tile_step_size=0.5,
             mirror_axes=(0, 1, 2), tile_batch=2)
         np.testing.assert_allclose(out, data * mask, rtol=1e-4, atol=1e-4)
+
+
+class TestShapeBucketing:
+    """Padded volume shapes are bucketed to half-patch multiples so distinct
+    case shapes share one compiled tile predictor (each distinct shape would
+    otherwise cost a full XLA compile)."""
+
+    def test_same_bucket_same_padded_shape(self):
+        from dinounet_tpu.inference.sliding_window import (
+            prepare_sliding_window_volume,
+        )
+
+        shapes = []
+        for Y, X in ((530, 600), (560, 620), (512, 513)):
+            data = np.zeros((1, 1, Y, X), np.float32)
+            vol, offs, revert = prepare_sliding_window_volume(data, (128, 128))
+            shapes.append((vol.shape, offs.shape))
+            # revert window recovers the original extent
+            assert [hi - lo for lo, hi in revert] == [1, Y, X]
+        # 530x600 and 560x620 both pad to (576, 640); 512x513 differs
+        assert shapes[0] == shapes[1]
+        assert shapes[2] != shapes[0]
+
+    def test_bucketed_output_matches_identity(self):
+        from dinounet_tpu.inference.sliding_window import (
+            predict_sliding_window_return_logits,
+        )
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((1, 1, 150, 201)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            lambda x: x, data, (64, 64), num_classes=1, tile_batch=4)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+    def test_z_bucketing_2d_net_on_3d_volume(self):
+        from dinounet_tpu.inference.sliding_window import (
+            predict_sliding_window_return_logits,
+            prepare_sliding_window_volume,
+        )
+
+        data = np.random.default_rng(1).standard_normal(
+            (1, 5, 70, 70)).astype(np.float32)
+        vol, _, revert = prepare_sliding_window_volume(data, (64, 64))
+        assert vol.shape[0] == 8  # z padded to a multiple of 8
+        out = predict_sliding_window_return_logits(
+            lambda x: x, data, (64, 64), num_classes=1, tile_batch=4)
+        assert out.shape == (1, 5, 70, 70)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
