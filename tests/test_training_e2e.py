@@ -634,3 +634,40 @@ def test_dummy2d_scale_preserves_z():
     for z in range(shape[0]):
         interior = x[z, 6:-6, 6:-6]
         np.testing.assert_allclose(interior, float(z), atol=1e-4)
+
+
+def test_batch_prefetcher():
+    """The trainer's background batch thread delivers batches in order and
+    surfaces loader exceptions to the consumer."""
+    import time as _time
+
+    from dinounet_tpu.training.trainer import nnUNetTrainer
+
+    class Loader:
+        def __init__(self):
+            self.i = 0
+
+        def generate_train_batch(self):
+            self.i += 1
+            if self.i > 5:
+                raise ValueError("boom")
+            return {"n": self.i}
+
+    pf = nnUNetTrainer._BatchPrefetcher(Loader())
+    got = [pf.next()["n"] for _ in range(5)]
+    assert got == [1, 2, 3, 4, 5]
+    try:
+        pf.next()
+        raise AssertionError("expected the loader exception to surface")
+    except ValueError as e:
+        assert "boom" in str(e)
+    pf.close()
+
+    # close() while the producer is blocked on a full queue must not hang
+    class Slow:
+        def generate_train_batch(self):
+            return {"x": 1}
+
+    pf2 = nnUNetTrainer._BatchPrefetcher(Slow())
+    _time.sleep(0.3)  # queue fills
+    pf2.close()
