@@ -261,3 +261,7 @@ def entry_point_apply_postprocessing():
 
 if __name__ == "__main__":
     entry_point_determine_postprocessing()
+
+
+# reference CLI name (ref remove_connected_components.py:298)
+entry_point_determine_postprocessing_folder = entry_point_determine_postprocessing

@@ -199,3 +199,7 @@ def entry_point_plot_overlay_pngs():
 
 if __name__ == "__main__":
     entry_point_plot_overlay_pngs()
+
+
+# reference CLI name (ref utilities/overlay_plots.py:243)
+entry_point_generate_overlay = entry_point_plot_overlay_pngs

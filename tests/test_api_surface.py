@@ -47,6 +47,15 @@ SURFACE = [
      ["find_best_configuration", "find_best_configuration_entry_point",
       "accumulate_crossval_results_entry_point"],
      "evaluation/find_best_configuration.py:81,271,300"),
+    ("dinounet_tpu.postprocessing.remove_connected_components",
+     ["remove_all_but_largest_component_from_segmentation",
+      "determine_postprocessing",
+      "entry_point_determine_postprocessing_folder",
+      "entry_point_apply_postprocessing"],
+     "postprocessing/remove_connected_components.py:22,53,298,318"),
+    ("dinounet_tpu.utilities.overlay_plots",
+     ["entry_point_generate_overlay"],
+     "utilities/overlay_plots.py:243"),
     ("dinounet_tpu.preprocessing.preprocessor",
      ["DefaultPreprocessor"],
      "preprocessing/preprocessors/default_preprocessor.py:33"),
