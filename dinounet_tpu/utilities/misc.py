@@ -85,3 +85,39 @@ def get_allowed_n_proc_DA() -> int:
     if "nnUNet_n_proc_DA" in os.environ:
         return int(os.environ["nnUNet_n_proc_DA"])
     return min(12, os.cpu_count() or 8)
+
+
+def convert_trainer_plans_config_to_identifier(trainer_name: str,
+                                               plans_identifier: str,
+                                               configuration: str) -> str:
+    """ref: utilities/file_path_utilities.py:11."""
+    return f"{trainer_name}__{plans_identifier}__{configuration}"
+
+
+def convert_identifier_to_trainer_plans_config(identifier: str):
+    """ref: utilities/file_path_utilities.py:15."""
+    return os.path.basename(identifier).split("__")
+
+
+def get_output_folder(dataset_name_or_id, trainer_name: str = "nnUNetTrainer",
+                      plans_identifier: str = "nnUNetPlans",
+                      configuration: str = "3d_fullres",
+                      fold=None) -> str:
+    """results/<dataset>/<Trainer>__<plans>__<config>[/fold_N]
+    (ref: utilities/file_path_utilities.py:19-31)."""
+    out = convert_identifier_to_trained_model_output_folder(
+        maybe_convert_to_dataset_name(dataset_name_or_id), trainer_name,
+        plans_identifier, configuration)
+    if fold is not None:
+        out = os.path.join(out, f"fold_{fold}")
+    return out
+
+
+def folds_tuple_to_string(folds) -> str:
+    """ref: utilities/file_path_utilities.py:82."""
+    return "_".join(str(f) for f in folds)
+
+
+def folds_string_to_tuple(folds_string: str):
+    """ref: utilities/file_path_utilities.py:89."""
+    return tuple(f if f == "all" else int(f) for f in folds_string.split("_"))

@@ -56,6 +56,13 @@ SURFACE = [
     ("dinounet_tpu.utilities.overlay_plots",
      ["entry_point_generate_overlay"],
      "utilities/overlay_plots.py:243"),
+    ("dinounet_tpu.utilities.misc",
+     ["get_output_folder", "folds_tuple_to_string", "folds_string_to_tuple",
+      "convert_trainer_plans_config_to_identifier",
+      "convert_identifier_to_trainer_plans_config",
+      "generate_crossval_split", "maybe_convert_to_dataset_name"],
+     "utilities/file_path_utilities.py:11-91, crossval_split.py:7, "
+     "dataset_name_id_conversion.py:21"),
     ("dinounet_tpu.preprocessing.preprocessor",
      ["DefaultPreprocessor"],
      "preprocessing/preprocessors/default_preprocessor.py:33"),
