@@ -45,15 +45,19 @@ def _kernel(scale, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
     sin = sin_ref[...]
     cos = cos_ref[...]
 
-    def rope(x):
+    def rope(x, mul=None):
         xf = x.astype(jnp.float32)
-        return (xf * cos + pltpu.roll(xf, Dh // 2, 1) * sin).astype(cdt)
+        r = xf * cos + pltpu.roll(xf, Dh // 2, 1) * sin
+        if mul is not None:
+            r = r * mul  # scale folded into q: an (N, Dh) pass instead of
+            # multiplying the (N, N) f32 score matrix
+        return r.astype(cdt)
 
-    q = rope(q_ref[0, 0])
+    q = rope(q_ref[0, 0], scale)
     k = rope(k_ref[0, 0])
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * scale
+    )
     p = jax.nn.softmax(s, axis=-1).astype(cdt)
     o_ref[0, 0] = jax.lax.dot_general(
         p, v_ref[0, 0], (((1,), (0,)), ((), ())),
