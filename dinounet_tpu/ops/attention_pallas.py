@@ -58,11 +58,16 @@ def _kernel(scale, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    p = jax.nn.softmax(s, axis=-1).astype(cdt)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p, v_ref[0, 0], (((1,), (0,)), ((), ())),
+    # softmax with the normalization folded into the output: dividing the
+    # (N, Dh) PV result by the row sums replaces a full (N, N) pass
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m).astype(cdt)
+    denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        e, v_ref[0, 0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(cdt)
+    )
+    o_ref[0, 0] = (pv / denom).astype(cdt)
 
 
 def _xla_reference(qkv, sin_eff, cos):
