@@ -191,7 +191,10 @@ class nnUNetPredictor:
         averages the half logits on CPU (ref :491-498).
         """
         from dinounet_tpu.inference.sliding_window import (
+            _accum_budget_bytes,
+            _predict_host_accumulate,
             finalize_sliding_window_logits,
+            make_tile_batch_forward,
             prepare_sliding_window_volume,
         )
 
@@ -199,6 +202,29 @@ class nnUNetPredictor:
         predictor = self._get_tile_predictor()
         volume, offsets, revert = prepare_sliding_window_volume(
             np.asarray(data), patch_size, self.tile_step_size)
+        num_classes = self.label_manager.num_segmentation_heads
+        accum_bytes = int(np.prod(volume.shape[:3])) * (num_classes + 1) * 4
+        if accum_bytes > _accum_budget_bytes():
+            # memory escape hatch (ref predict_from_raw_data.py:709-718):
+            # device predicts tile batches, host accumulates per fold
+            if self.verbose:
+                print(f"accumulator {accum_bytes/2**30:.1f} GiB over budget; "
+                      "host-side accumulation")
+            mirror_axes = (self.allowed_mirroring_axes if self.use_mirroring
+                           else None)
+            fwd = make_tile_batch_forward(
+                predictor.apply_fn, patch_size, num_classes,
+                mirror_axes=mirror_axes, use_gaussian=self.use_gaussian)
+            accum_sum = weights = None
+            for params in self.list_of_parameters:
+                accum, weights = _predict_host_accumulate(
+                    fwd, volume, None, np.asarray(offsets), patch_size,
+                    num_classes, params, predictor.tile_batch,
+                    self.use_gaussian)
+                accum_sum = accum if accum_sum is None else accum_sum + accum
+            n = len(self.list_of_parameters)
+            return finalize_sliding_window_logits(
+                accum_sum, weights * n, revert, out_dtype=np.float16)
         accum_sum = None
         for params in self.list_of_parameters:
             accum, weights = predictor(volume, offsets, params)

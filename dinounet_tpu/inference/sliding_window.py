@@ -190,6 +190,11 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
         (accum, weights), _ = jax.lax.scan(body, (accum, weights), (offsets_b, valid_b))
         return accum, weights
 
+    # expose build inputs so the memory-fallback path can rebuild a
+    # batch-forward for host-side accumulation (see _accum_budget_bytes)
+    predict.apply_fn = apply_fn
+    predict.with_target = with_target
+    predict.tile_batch = tile_batch
     return predict
 
 
@@ -287,6 +292,9 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
                                            (offsets_b, valid_b))
         return accum, weights
 
+    predict.apply_fn = apply_fn
+    predict.with_target = with_target
+    predict.tile_batch = tile_batch
     return predict
 
 
@@ -397,6 +405,114 @@ def finalize_sliding_window_logits(accum, weights, revert,
     return logits[sl]
 
 
+def _accum_budget_bytes() -> int:
+    """HBM budget for the on-device accumulator pair (logits + weights).
+
+    The reference's sliding window accumulates on device and falls back to CPU
+    accumulation on OOM (ref predict_from_raw_data.py:709-718). XLA can't
+    recover from a mid-graph OOM the way eager torch can, so we decide up
+    front: if the fp32 accumulators would exceed this budget, tiles are still
+    predicted on device in jit-compiled batches but the scatter-add runs
+    host-side in numpy. Override with DINOUNET_TPU_SW_ACCUM_BUDGET_BYTES
+    (useful for tests; 0 forces the host path)."""
+    import os
+
+    v = os.environ.get("DINOUNET_TPU_SW_ACCUM_BUDGET_BYTES")
+    if v is not None:
+        return int(v)
+    return 8 << 30  # leave headroom out of a 16 GB v5e HBM
+
+
+def make_tile_batch_forward(apply_fn: Callable, patch_size, num_classes: int,
+                            mirror_axes=None, use_gaussian: bool = True,
+                            with_target: bool = False):
+    """Jitted forward over ONE batch of tiles, returning (weighted_logits,
+    weight_tiles) for host-side accumulation — the memory-fallback analogue of
+    make_tile_predictor (ref predict_from_raw_data.py:709-718 CPU-accumulate
+    fallback). Device does the expensive part (network + TTA + gaussian
+    multiply); the host does only the additions."""
+    nd = len(patch_size)
+    gaussian = np.asarray(compute_gaussian(tuple(patch_size)))
+    if not use_gaussian:
+        gaussian = np.ones_like(gaussian)
+    g_dev = jnp.asarray(gaussian)[(None,) + (slice(None),) * nd + (None,)]
+    variants = [()]
+    if mirror_axes:
+        import itertools
+
+        axes = tuple(a + 1 for a in mirror_axes)
+        variants = [
+            c for i in range(len(axes) + 1) for c in itertools.combinations(axes, i)
+        ]
+
+    @jax.jit
+    def forward(volume, offs, variables, target=None):
+        if nd == 2:
+            sizes = (1,) + tuple(patch_size)
+        else:
+            sizes = tuple(patch_size)
+
+        def slice_at(vol):
+            def f(off):
+                t = jax.lax.dynamic_slice(
+                    vol, (off[0], off[1], off[2], 0), sizes + (vol.shape[-1],))
+                return t[0] if nd == 2 else t
+            return f
+
+        tiles = jax.vmap(slice_at(volume))(offs)
+        tar = jax.vmap(slice_at(target))(offs) if with_target else None
+        logits = 0.0
+        for axes in variants:
+            t, tt = tiles, tar
+            for a in axes:
+                t = jnp.flip(t, axis=a)
+                if with_target:
+                    tt = jnp.flip(tt, axis=a)
+            out = apply_fn(variables, t, tt) if with_target \
+                else apply_fn(variables, t)
+            for a in axes:
+                out = jnp.flip(out, axis=a)
+            logits = logits + out.astype(jnp.float32)
+        logits = logits / len(variants)
+        return logits * g_dev
+
+    return forward
+
+
+def _predict_host_accumulate(predictor_fwd, volume, target_vol, offsets_np,
+                             patch_size, num_classes, variables, tile_batch,
+                             use_gaussian):
+    """Host-side scatter-add over jit-predicted tile batches."""
+    nd = len(patch_size)
+    Z, Y, X, _ = volume.shape
+    gaussian = np.asarray(compute_gaussian(tuple(patch_size)), np.float32)
+    if not use_gaussian:
+        gaussian = np.ones_like(gaussian)
+    accum = np.zeros((Z, Y, X, num_classes), np.float32)
+    weights = np.zeros((Z, Y, X, 1), np.float32)
+    n = offsets_np.shape[0]
+    for start in range(0, n, tile_batch):
+        offs = offsets_np[start:start + tile_batch]
+        k = offs.shape[0]
+        if k < tile_batch:  # pad to the compiled batch size
+            offs = np.concatenate(
+                [offs, np.repeat(offs[-1:], tile_batch - k, axis=0)], axis=0)
+        args = (volume, jnp.asarray(offs), variables)
+        if target_vol is not None:
+            args = args + (target_vol,)
+        weighted = np.asarray(predictor_fwd(*args))[:k]
+        for i in range(k):
+            z, oy, ox = (int(v) for v in offsets_np[start + i])
+            if nd == 2:
+                accum[z, oy:oy + patch_size[0], ox:ox + patch_size[1]] += weighted[i]
+                weights[z, oy:oy + patch_size[0], ox:ox + patch_size[1], 0] += gaussian
+            else:
+                pd, ph, pw = patch_size
+                accum[z:z + pd, oy:oy + ph, ox:ox + pw] += weighted[i]
+                weights[z:z + pd, oy:oy + ph, ox:ox + pw, 0] += gaussian
+    return accum, weights
+
+
 def predict_sliding_window_return_logits(
     apply_fn: Optional[Callable], data: np.ndarray, patch_size: Tuple[int, int],
     num_classes: int, tile_step_size: float = 0.5,
@@ -425,9 +541,32 @@ def predict_sliding_window_return_logits(
     volume, offsets, revert = prepare_sliding_window_volume(
         data, patch_size, tile_step_size)
     with_target = target_mask is not None
+    target_vol = None
     if with_target:
         target_vol, _, _ = prepare_sliding_window_volume(
             target_mask, patch_size, tile_step_size)
+
+    # Memory escape hatch (ref predict_from_raw_data.py:709-718): if the fp32
+    # accumulators would blow the HBM budget, predict tile batches on device
+    # but accumulate host-side.
+    accum_bytes = int(np.prod(volume.shape[:3])) * (num_classes + 1) * 4
+    if accum_bytes > _accum_budget_bytes():
+        if verbose:
+            print(f"sliding window: accumulator {accum_bytes/2**30:.1f} GiB "
+                  "exceeds device budget; accumulating on host")
+        if apply_fn is not None:
+            fn = (lambda _v, x, t: apply_fn(x, t)) if with_target \
+                else (lambda _v, x: apply_fn(x))
+        else:
+            fn = predictor.apply_fn  # prebuilt predictor carries its apply_fn
+        fwd = make_tile_batch_forward(
+            fn, patch_size, num_classes, mirror_axes=mirror_axes,
+            use_gaussian=use_gaussian, with_target=with_target)
+        accum, weights = _predict_host_accumulate(
+            fwd, volume, target_vol, np.asarray(offsets), tuple(patch_size),
+            num_classes, variables, tile_batch, use_gaussian)
+        return finalize_sliding_window_logits(accum, weights, revert)
+
     if predictor is None:
         fn = (lambda _v, x, t: apply_fn(x, t)) if with_target \
             else (lambda _v, x: apply_fn(x))

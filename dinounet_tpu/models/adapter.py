@@ -60,11 +60,58 @@ def _sampling_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
     return init
 
 
+class _ChannelMajorDense(nn.Module):
+    """nn.Dense-compatible params (kernel (in, out), bias (out,)) whose output
+    is emitted channel-major: (B, N, in) -> (B, out, N).
+
+    The matmul itself picks the output layout — no separate XLA transpose pass
+    over the (B, out, N) array (the round-1 trace attributed ~100 MB/call of
+    MSDA time to exactly those transposes)."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: callable = nn.initializers.lecun_normal()
+    bias_init: callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", self.kernel_init,
+                       (x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        out = jnp.einsum("bne,ec->bcn", x.astype(self.dtype),
+                         k.astype(self.dtype))
+        return out + b.astype(self.dtype)[None, :, None]
+
+
+class _ChannelMajorOutputProj(nn.Module):
+    """nn.Dense-compatible params (kernel (M*D, E), bias) consuming the MSDA
+    kernel's native (B, M, D, N) output: one contraction over (M, D), output
+    token-major (B, N, E) — no intermediate (B, N, M*D) materialization."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_t):
+        B, M, D, N = x_t.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (M * D, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        out = jnp.einsum("bmdn,mdf->bnf", x_t.astype(self.dtype),
+                         k.reshape(M, D, self.features).astype(self.dtype))
+        return out + b.astype(self.dtype)
+
+
 class MSDeformAttn(nn.Module):
     """Deformable attention module: projections + sampling around reference points.
 
     ref: ms_deform_attn.py:101-216. d_model=embed_dim, n_levels=1 on the DinoUNet
     path (values = single-level ViT tokens), n_heads=16, n_points=4, ratio=0.5.
+
+    On TPU the projections emit the Pallas kernel's native layouts directly
+    (`ms_deform_attn_pallas_premapped`); the CPU/test path keeps the
+    reference-layout gather core. Both branches create identical parameter
+    trees (Dense-compatible kernel/bias), so checkpoints are portable between
+    them.
     """
     d_model: int
     n_levels: int = 1
@@ -81,7 +128,13 @@ class MSDeformAttn(nn.Module):
         d_value = int(self.d_model * self.ratio)
         D = d_value // M
 
-        value = nn.Dense(d_value, dtype=self.dtype, name="value_proj")(value_tokens)
+        if use_pallas_msda():
+            return self._premapped(query, reference_points, value_tokens,
+                                   value_spatial_shapes, M, L, P, B, Lq,
+                                   d_value, D)
+
+        value = nn.Dense(self.d_value_features(), dtype=self.dtype,
+                         name="value_proj")(value_tokens)
         value = value.reshape(B, -1, M, D)
 
         offsets = nn.Dense(
@@ -106,14 +159,55 @@ class MSDeformAttn(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        if use_pallas_msda():
-            from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas
-
-            out = ms_deform_attn_pallas(value, tuple(value_spatial_shapes), loc, attn)
-        else:
-            out = ms_deform_attn_core(value, tuple(value_spatial_shapes), loc, attn)
+        out = ms_deform_attn_core(value, tuple(value_spatial_shapes), loc, attn)
         out = out.astype(self.dtype)
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+
+    def d_value_features(self) -> int:
+        return int(self.d_model * self.ratio)
+
+    def _premapped(self, query, reference_points, value_tokens,
+                   value_spatial_shapes, M, L, P, B, Lq, d_value, D):
+        """TPU fast path: projections emit the kernel-native lane-major
+        layouts; reference-point/normalizer folding happens in pixel space.
+
+        With the offset normalizer equal to the value grid size per level
+        (both come from value_spatial_shapes, ref ms_deform_attn.py:192-197),
+        unnormalize(ref + off/normalizer) = ref*grid - 0.5 + off — the divide
+        cancels, so offsets flow through at unit scale."""
+        from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas_premapped
+
+        v_t = _ChannelMajorDense(d_value, dtype=self.dtype,
+                                 name="value_proj")(value_tokens)
+        v_t = v_t.reshape(B, M, D, -1).astype(jnp.float32)
+
+        off_t = _ChannelMajorDense(
+            M * L * P * 2, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_sampling_offset_bias_init(M, L, P),
+            name="sampling_offsets",
+        )(query).astype(jnp.float32).reshape(B, M, L * P, 2, Lq)
+        attn_t = _ChannelMajorDense(
+            M * L * P, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).astype(jnp.float32).reshape(B, M, L * P, Lq)
+        attn_t = jax.nn.softmax(attn_t, axis=2)
+
+        sizes = np.array([[w, h] for (h, w) in value_spatial_shapes],
+                         dtype=np.float32)  # (L, 2) = (W_l, H_l)
+        refx = reference_points[0, :, 0, 0]  # (Lq,) normalized
+        refy = reference_points[0, :, 0, 1]
+        base_x = jnp.repeat(refx[None, :] * sizes[:, 0:1] - 0.5, P, axis=0)
+        base_y = jnp.repeat(refy[None, :] * sizes[:, 1:2] - 0.5, P, axis=0)
+        xs = off_t[:, :, :, 0, :] + base_x[None, None]
+        ys = off_t[:, :, :, 1, :] + base_y[None, None]
+
+        out_t = ms_deform_attn_pallas_premapped(
+            v_t, tuple(value_spatial_shapes), xs, ys, attn_t)
+        return _ChannelMajorOutputProj(
+            self.d_model, dtype=self.dtype, name="output_proj",
+        )(out_t.astype(self.dtype))
 
 
 class DWConvMS(nn.Module):

@@ -19,13 +19,64 @@ Key mappings (torch -> flax):
   rope_embed.periods                  -> recomputed analytically (verified equal)
 """
 
+import json
 import os
 import pickle
-from typing import Dict
+from typing import Dict, Mapping, Sequence
 
 import numpy as np
 
 from dinounet_tpu.models.vit import VIT_CONFIGS, ViTConfig
+
+# State-dict keys that are legitimately NOT converted:
+#   mask_token        — SSL masking only, never used on the DinoUNet path
+#   rope_embed.periods — recomputed analytically (verified equal, test_vit_parity)
+#   local_cls_norm.*  — untied local-crop cls norm (7B/SAT-L); the adapter path
+#                       goes through get_intermediate_layers, which applies the
+#                       global `norm` (ref vision_transformer.py:281-318)
+IGNORED_CHECKPOINT_KEYS = ("mask_token", "rope_embed.periods",
+                           "local_cls_norm.weight", "local_cls_norm.bias")
+
+_MANIFEST_PATH = os.path.join(os.path.dirname(__file__), "checkpoint_manifest.json")
+
+
+def checkpoint_manifest(model_name: str) -> Dict[str, list]:
+    """Golden key→shape map of the published checkpoint for `model_name`
+    (generated from the reference model definitions by
+    tools/gen_checkpoint_manifest.py; hyperparams from
+    ref hub/backbones.py:201-237,279-317,318-373,452-494)."""
+    with open(_MANIFEST_PATH) as f:
+        manifest = json.load(f)
+    if model_name not in manifest:
+        raise KeyError(f"no manifest for {model_name}; have {sorted(manifest)}")
+    return manifest[model_name]
+
+
+def verify_state_dict_against_manifest(
+        shapes: Mapping[str, Sequence[int]], model_name: str) -> None:
+    """Validate a checkpoint's key/shape table against the golden manifest.
+
+    `shapes`: key -> shape (e.g. {k: v.shape for k, v in state_dict.items()}).
+    Raises ValueError listing missing / unexpected / mis-shaped keys, so a
+    broken or truncated download is caught before conversion."""
+    expected = checkpoint_manifest(model_name)
+    missing = sorted(set(expected) - set(shapes))
+    unexpected = sorted(set(shapes) - set(expected))
+    mis_shaped = sorted(
+        k for k in set(expected) & set(shapes)
+        if list(shapes[k]) != list(expected[k]))
+    if missing or unexpected or mis_shaped:
+        msgs = []
+        if missing:
+            msgs.append(f"missing keys: {missing[:10]}{'...' if len(missing) > 10 else ''}")
+        if unexpected:
+            msgs.append(f"unexpected keys: {unexpected[:10]}{'...' if len(unexpected) > 10 else ''}")
+        if mis_shaped:
+            msgs.append("mis-shaped: " + ", ".join(
+                f"{k} {list(shapes[k])}!={expected[k]}" for k in mis_shaped[:10]))
+        raise ValueError(
+            f"checkpoint does not match the published {model_name} layout: "
+            + "; ".join(msgs))
 
 
 def _dense(sd, torch_name: str, use_bias: bool = True) -> Dict[str, np.ndarray]:
@@ -35,9 +86,27 @@ def _dense(sd, torch_name: str, use_bias: bool = True) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert_dinov3_state_dict(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
-    """torch state dict (numpy values) -> flax backbone params subtree."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+class _TrackingDict(dict):
+    """Records key accesses so conversion can prove it consumed everything."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.accessed = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+
+def convert_dinov3_state_dict(sd: Dict[str, np.ndarray], cfg: ViTConfig,
+                              strict: bool = False) -> dict:
+    """torch state dict (numpy values) -> flax backbone params subtree.
+
+    strict=True raises if any checkpoint key outside IGNORED_CHECKPOINT_KEYS
+    is left unconsumed (a key-map drift would otherwise silently drop
+    pretrained weights)."""
+    if not isinstance(sd, _TrackingDict):
+        sd = _TrackingDict({k: np.asarray(v) for k, v in sd.items()})
     params = {}
 
     w = sd["patch_embed.proj.weight"]  # (E, 3, p, p)
@@ -78,6 +147,12 @@ def convert_dinov3_state_dict(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict
         params[f"block{i}"] = blk
 
     params["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+
+    unused = set(sd) - sd.accessed - set(IGNORED_CHECKPOINT_KEYS)
+    if unused and strict:
+        raise ValueError(
+            f"{len(unused)} checkpoint key(s) were not converted (key-map "
+            f"drift would drop pretrained weights): {sorted(unused)[:10]}")
     return params
 
 
@@ -94,9 +169,15 @@ def _torch_to_numpy(t):
     return t.numpy()
 
 
-def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str) -> None:
+def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str,
+                             verify: bool = True) -> None:
     """Convert a published DINOv3 .pth into our msgpack backbone params.
-    model_name: dinov3_vits16 | dinov3_vitb16 | dinov3_vitl16 | dinov3_vit7b16."""
+    model_name: dinov3_vits16 | dinov3_vitb16 | dinov3_vitl16 | dinov3_vit7b16.
+
+    verify=True first validates every key/shape against the golden manifest
+    (checkpoint_manifest.json) and then requires the converter to consume all
+    non-ignored keys — a broken download or key-map drift fails loudly instead
+    of producing a silently-partial conversion."""
     import torch
 
     cfg = VIT_CONFIGS[model_name]
@@ -106,8 +187,11 @@ def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str) -> N
                                 mmap=True)
     except (TypeError, RuntimeError):
         state_dict = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if verify:
+        verify_state_dict_against_manifest(
+            {k: tuple(v.shape) for k, v in state_dict.items()}, model_name)
     sd = {k: _torch_to_numpy(v) for k, v in state_dict.items()}
-    params = convert_dinov3_state_dict(sd, cfg)
+    params = convert_dinov3_state_dict(sd, cfg, strict=verify)
     save_backbone_params(params, out_path)
 
 
@@ -124,6 +208,51 @@ def load_backbone_params(path: str) -> dict:
 
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def main(argv=None) -> None:
+    """CLI: python -m dinounet_tpu.models.convert <pth> <model_name> <out>
+    (add --verify-only to just validate a .pth against the golden manifest).
+
+    Replaces the reference's load-time conversion (ref dinounet_training.py:51-75
+    + hub URL loading, backbones.py:45-141) with an offline, verifiable step."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a published DINOv3 .pth checkpoint to msgpack "
+                    "backbone params (with golden-manifest verification).")
+    p.add_argument("pth", help="path to the downloaded .pth checkpoint")
+    p.add_argument("model_name",
+                   choices=["dinov3_vits16", "dinov3_vitb16", "dinov3_vitl16",
+                            "dinov3_vit7b16"])
+    p.add_argument("out", nargs="?", default=None,
+                   help="output .msgpack path (omit with --verify-only)")
+    p.add_argument("--verify-only", action="store_true",
+                   help="only check keys/shapes against the manifest")
+    p.add_argument("--no-verify", action="store_true",
+                   help="skip manifest verification (fine-tuned/custom ckpts)")
+    args = p.parse_args(argv)
+
+    if args.verify_only:
+        import torch
+
+        try:  # mmap: shapes only, no tensor data read
+            state_dict = torch.load(args.pth, map_location="cpu",
+                                    weights_only=True, mmap=True)
+        except (TypeError, RuntimeError):
+            state_dict = torch.load(args.pth, map_location="cpu",
+                                    weights_only=True)
+        verify_state_dict_against_manifest(
+            {k: tuple(v.shape) for k, v in state_dict.items()},
+            args.model_name)
+        print(f"{args.pth}: matches the published {args.model_name} layout "
+              f"({len(state_dict)} keys)")
+        return
+    if args.out is None:
+        p.error("out path required unless --verify-only")
+    convert_torch_checkpoint(args.pth, args.model_name, args.out,
+                             verify=not args.no_verify)
+    print(f"wrote {args.out}")
 
 
 def load_dinov3_params_into(variables: dict, path: str) -> dict:
@@ -154,3 +283,7 @@ def load_dinov3_params_into(variables: dict, path: str) -> dict:
     out = dict(variables)
     out["params"] = params
     return out
+
+
+if __name__ == "__main__":
+    main()

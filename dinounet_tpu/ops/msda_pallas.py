@@ -20,6 +20,17 @@ than the per-corner one-hot build at DinoUNet shapes (S=1024, Lq=5376).
 
 All arrays are laid out with the large dims (S | Q) on the TPU lane axis.
 
+Two public entry points:
+
+- `ms_deform_attn_pallas` — reference-layout API (value (B, S, M, D),
+  normalized locations (B, Lq, M, L, P, 2)); does the layout transposes on the
+  XLA side. Used by tests and the generic path.
+- `ms_deform_attn_pallas_premapped` — kernel-native layouts (value
+  (B, M, D, S); unnormalized pixel coords / weights (B, M, L*P, Lq)). The
+  adapter produces these layouts directly from its projection matmuls
+  (channel-major einsum outputs), removing ~100 MB/call of XLA-side
+  transpose+pad traffic that round-1 profiling attributed to MSDA prep.
+
 Numerics match ops.msda.ms_deform_attn_core (the pure-JAX/grid_sample-parity
 implementation). The backward is a second Pallas kernel with the same
 factorization — the col2im semantics of the CUDA extension
@@ -38,11 +49,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dinounet_tpu.ops.msda import ms_deform_attn_core
 
-# Query-block size: 512 measured ~8% faster than 256 at DinoUNet shapes
-# (Lq=5376, S=1024): bigger blocks amortize the per-program iota/zero-init
-# and raise the final dot's N-dimension utilization; 1024 regresses (VMEM
-# pressure on the (H, W, Q) accumulator).
+# Default query-block size: 512 measured ~8% faster than 256 at DinoUNet
+# shapes (Lq=5376, S=1024): bigger blocks amortize the per-program
+# iota/zero-init and raise the final dot's N-dimension utilization; 1024
+# regresses (VMEM pressure on the (H, W, Q) accumulator).
 BLK_Q = 512
+
+
+def _pick_blk_q(Lq: int) -> int:
+    """Largest lane-aligned block that divides Lq exactly (no padding, no
+    in-kernel masking); falls back to BLK_Q + padding. Lq=5376 -> 384."""
+    for blk in (512, 384, 256, 128):
+        if Lq % blk == 0:
+            return blk
+    return BLK_Q
 
 
 def _row_col_weights(iota_h, iota_w, H, W, x, y):
@@ -79,10 +99,10 @@ def _row_col_weights(iota_h, iota_w, H, W, x, y):
 def _fwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, out_ref):
     """One program = one (b, m, q-block).
 
-    xs_ref/ys_ref/aw_ref: (1, 1, L*P, BLK_Q) fp32 — unnormalized sample coords
+    xs_ref/ys_ref/aw_ref: (1, 1, L*P, BLK) fp32 — unnormalized sample coords
       (align_corners=False pixel space) and softmaxed attention weights.
     value_ref: (1, 1, D, S) fp32.
-    out_ref:   (1, 1, D, BLK_Q) fp32.
+    out_ref:   (1, 1, D, BLK) fp32.
     """
     D = value_ref.shape[2]
     Q = out_ref.shape[3]
@@ -95,7 +115,7 @@ def _fwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, out_ref):
         w3 = jnp.zeros((H, W, Q), jnp.float32)
         for p in range(P):
             row = lvl * P + p
-            x = xs_ref[0, 0, row : row + 1, :]  # (1, BLK_Q)
+            x = xs_ref[0, 0, row : row + 1, :]  # (1, BLK)
             y = ys_ref[0, 0, row : row + 1, :]
             aw = aw_ref[0, 0, row : row + 1, :]
             yw, xw, _, _ = _row_col_weights(iota_h, iota_w, H, W, x, y)
@@ -107,6 +127,95 @@ def _fwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, out_ref):
         )
         start += S_l
     out_ref[0, 0] = acc
+
+
+def _pad_q(arrs, blk, coord_pad=-10.0):
+    """Pad the last (lane) axis of [(array, is_coord), ...] up to a multiple
+    of blk. Coord arrays pad with an out-of-range value (zero contribution);
+    weight/grad arrays pad with zero."""
+    Lq = arrs[0][0].shape[-1]
+    q_pad = (-Lq) % blk
+    if not q_pad:
+        return [a for a, _ in arrs]
+    return [
+        jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, q_pad)),
+                constant_values=coord_pad if is_coord else 0.0)
+        for a, is_coord in arrs
+    ]
+
+
+def _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret=False):
+    """Kernel-native layouts in, kernel-native layout out.
+
+    v: (B, M, D, S) fp32; xs/ys: (B, M, L*P, Lq) fp32 unnormalized pixel
+    coords (value_grid * loc - 0.5); aw: (B, M, L*P, Lq) fp32.
+    Returns (B, M, D, Lq) fp32."""
+    B, M, D, S = v.shape
+    LP, Lq = xs.shape[2], xs.shape[3]
+    L = len(spatial_shapes)
+    P = LP // L
+
+    blk = _pick_blk_q(Lq)
+    xs, ys, aw = _pad_q([(xs, True), (ys, True), (aw, False)], blk)
+    Lq_p = xs.shape[3]
+    n_qb = Lq_p // blk
+
+    kernel = functools.partial(_fwd_kernel, tuple(spatial_shapes), P)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, M, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, LP, blk), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LP, blk), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LP, blk), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, blk), lambda b, m, q: (b, m, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, D, Lq_p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * D * S * Lq_p,
+            bytes_accessed=4 * B * M * (3 * LP * Lq_p + D * S + D * Lq_p),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys, aw, v)
+    if Lq_p != Lq:
+        out = out[:, :, :, :Lq]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def ms_deform_attn_pallas_premapped(value_t,
+                                    spatial_shapes: Tuple[Tuple[int, int], ...],
+                                    xs, ys, aw, interpret=False):
+    """Pallas MSDA over kernel-native layouts (see module docstring).
+
+    value_t (B, M, D, S) fp32, xs/ys/aw (B, M, L*P, Lq) fp32 with xs/ys in
+    unnormalized pixel space (grid * normalized_loc - 0.5). Returns
+    (B, M, D, Lq) fp32. Backward is the Pallas col2im kernel; the returned
+    coordinate grads are in the same pixel units (the caller's unnormalize
+    chain is differentiated by JAX outside this custom_vjp)."""
+    return _forward_premapped(value_t, spatial_shapes, xs, ys, aw, interpret)
+
+
+def _premapped_fwd(value_t, spatial_shapes, xs, ys, aw, interpret):
+    out = _forward_premapped(value_t, spatial_shapes, xs, ys, aw, interpret)
+    return out, (value_t, xs, ys, aw)
+
+
+def _premapped_bwd(spatial_shapes, interpret, res, g):
+    value_t, xs, ys, aw = res
+    gv, ga, gx, gy = _backward_premapped(
+        value_t, spatial_shapes, xs, ys, aw, g, interpret)
+    return gv, gx, gy, ga
+
+
+ms_deform_attn_pallas_premapped.defvjp(_premapped_fwd, _premapped_bwd)
 
 
 def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights,
@@ -124,49 +233,20 @@ def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights
     # value (B, S, M, D) -> (B, M, D, S)
     v = value.astype(jnp.float32).transpose(0, 2, 3, 1)
 
-    q_pad = (-Lq) % BLK_Q
-    if q_pad:
-        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, 0), (0, q_pad)), constant_values=-10.0)
-        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, 0), (0, q_pad)), constant_values=-10.0)
-        aw = jnp.pad(aw, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
-    Lq_p = Lq + q_pad
-    n_qb = Lq_p // BLK_Q
-
-    kernel = functools.partial(_fwd_kernel, tuple(spatial_shapes), P)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, M, n_qb),
-        in_specs=[
-            pl.BlockSpec((1, 1, L * P, BLK_Q), lambda b, m, q: (b, m, 0, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L * P, BLK_Q), lambda b, m, q: (b, m, 0, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L * P, BLK_Q), lambda b, m, q: (b, m, 0, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, D, BLK_Q), lambda b, m, q: (b, m, 0, q),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M, D, Lq_p), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * M * D * S * Lq_p,
-            bytes_accessed=4 * B * M * (3 * L * P * Lq_p + D * S + D * Lq_p),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xs, ys, aw, v)
-
-    # (B, M, D, Lq_p) -> (B, Lq, M*D)
-    out = out[:, :, :, :Lq].transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
+    out = _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret)
+    # (B, M, D, Lq) -> (B, Lq, M*D)
+    out = out.transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
     return out.astype(value.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas(value, spatial_shapes: Tuple[Tuple[int, int], ...],
                           sampling_locations, attention_weights, interpret=False):
-    """Pallas-accelerated forward; backward runs through the pure-JAX core's VJP
-    (scatter-add semantics identical to the CUDA col2im backward)."""
+    """Pallas-accelerated forward; backward is the Pallas col2im kernel
+    (`_pallas_backward`, wired via defvjp below) computing grad_value /
+    grad_sampling_locations / grad_attention_weights with scatter-add
+    semantics identical to the CUDA col2im backward
+    (ref: ms_deform_im2col_cuda.cuh:307-928)."""
     return _pallas_forward(value, spatial_shapes, sampling_locations,
                            attention_weights, interpret)
 
@@ -245,9 +325,63 @@ def _bwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, g_ref,
         start += S_l
 
 
+def _backward_premapped(v, spatial_shapes, xs, ys, aw, g, interpret=False):
+    """Premapped-layout backward: v (B, M, D, S), xs/ys/aw (B, M, L*P, Lq),
+    g (B, M, D, Lq). Returns (gv (B,M,D,S), ga, gx, gy (B,M,L*P,Lq)) with
+    coordinate grads in pixel units."""
+    B, M, D, S = v.shape
+    LP, Lq = xs.shape[2], xs.shape[3]
+    L = len(spatial_shapes)
+    P = LP // L
+
+    blk = _pick_blk_q(Lq)
+    xs, ys, aw = _pad_q([(xs, True), (ys, True), (aw, False)], blk)
+    q_pad = xs.shape[3] - Lq
+    if q_pad:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
+    Lq_p = xs.shape[3]
+    n_qb = Lq_p // blk
+
+    kernel = functools.partial(_bwd_kernel, tuple(spatial_shapes), P)
+    lane_spec = pl.BlockSpec((1, 1, LP, blk), lambda b, m, q: (b, m, 0, q),
+                             memory_space=pltpu.VMEM)
+    gv, ga, gx, gy = pl.pallas_call(
+        kernel,
+        grid=(B, M, n_qb),
+        in_specs=[
+            lane_spec, lane_spec, lane_spec,
+            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, blk), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            lane_spec, lane_spec, lane_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, D, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, LP, Lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, LP, Lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, LP, Lq_p), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * B * M * D * S * Lq_p,
+            bytes_accessed=4 * B * M * (4 * LP * Lq_p + 2 * D * S + D * Lq_p),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys, aw, v, g)
+    if q_pad:
+        ga, gx, gy = (a[..., :Lq] for a in (ga, gx, gy))
+    return gv, ga, gx, gy
+
+
 def _pallas_backward(value, spatial_shapes, sampling_locations, attention_weights,
                      g, interpret=False):
-    """Returns (grad_value, grad_sampling_locations, grad_attention_weights)."""
+    """Returns (grad_value, grad_sampling_locations, grad_attention_weights)
+    in the reference layouts."""
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
 
@@ -262,54 +396,15 @@ def _pallas_backward(value, spatial_shapes, sampling_locations, attention_weight
     # g: (B, Lq, M*D) -> (B, M, D, Lq)
     gt = g.astype(jnp.float32).reshape(B, Lq, M, D).transpose(0, 2, 3, 1)
 
-    q_pad = (-Lq) % BLK_Q
-    if q_pad:
-        pad4 = ((0, 0), (0, 0), (0, 0), (0, q_pad))
-        xs = jnp.pad(xs, pad4, constant_values=-10.0)
-        ys = jnp.pad(ys, pad4, constant_values=-10.0)
-        aw = jnp.pad(aw, pad4)
-        gt = jnp.pad(gt, pad4)
-    Lq_p = Lq + q_pad
-    n_qb = Lq_p // BLK_Q
-
-    kernel = functools.partial(_bwd_kernel, tuple(spatial_shapes), P)
-    lane_spec = pl.BlockSpec((1, 1, L * P, BLK_Q), lambda b, m, q: (b, m, 0, q),
-                             memory_space=pltpu.VMEM)
-    gv, ga, gx, gy = pl.pallas_call(
-        kernel,
-        grid=(B, M, n_qb),
-        in_specs=[
-            lane_spec, lane_spec, lane_spec,
-            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, BLK_Q), lambda b, m, q: (b, m, 0, q),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
-                         memory_space=pltpu.VMEM),
-            lane_spec, lane_spec, lane_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, M, D, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, M, L * P, Lq_p), jnp.float32),
-            jax.ShapeDtypeStruct((B, M, L * P, Lq_p), jnp.float32),
-            jax.ShapeDtypeStruct((B, M, L * P, Lq_p), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 4 * B * M * D * S * Lq_p,
-            bytes_accessed=4 * B * M * (4 * L * P * Lq_p + 2 * D * S + D * Lq_p),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xs, ys, aw, v, gt)
+    gv, ga, gx, gy = _backward_premapped(v, spatial_shapes, xs, ys, aw, gt,
+                                         interpret)
 
     # back to caller layouts
     grad_value = gv.transpose(0, 3, 1, 2).astype(value.dtype)  # (B, S, M, D)
-    ga = ga[..., :Lq].reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
+    ga = ga.reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
     grad_attn = ga.astype(attention_weights.dtype)
-    gx = gx[..., :Lq].reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
-    gy = gy[..., :Lq].reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
+    gx = gx.reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
+    gy = gy.reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
     # chain rule through unnormalization: d unnorm/d loc = (W_l, H_l)
     grad_loc = jnp.stack(
         [gx * sizes[None, None, None, :, None, 0],

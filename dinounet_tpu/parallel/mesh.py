@@ -48,10 +48,15 @@ def multihost_initialize(**kwargs) -> None:
     TPU-native replacement for `dist.init_process_group("nccl")`
     (ref run/run_training.py:104-106): coordinator discovery comes from the
     TPU runtime environment; no localhost/free-port dance needed.
+
+    Only re-entrant initialization is tolerated (matching the reference's
+    tolerance for repeated setup_ddp calls); any other failure — wrong
+    coordinator address, process-count mismatch, dead coordinator — raises,
+    so misconfiguration cannot silently degrade to a single-host run.
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        # already initialized (or single-process run) — matches the
-        # reference's tolerance for re-entrant setup_ddp calls.
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise

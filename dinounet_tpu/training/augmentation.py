@@ -12,10 +12,13 @@ TPU-native design: the reference burns a pool of CPU worker processes on this
 (`LimitedLenWrapper(NonDetMultiThreadedAugmenter)`, ref nnUNetTrainer.py:643);
 here the whole pipeline is a single jit-compiled function over the batch on
 device — the TPU augments while the host only memmap-copies patches.
-Interpolation for the random affine is bilinear (data) / nearest (seg) rather
-than the reference's cubic/linear — a documented deviation that keeps the warp
-a pure gather (augmentation is stochastic; this does not change the label
-distribution).
+Interpolation for the random affine defaults to bilinear (data) / nearest
+(seg) rather than the reference's cubic/linear — bilinear keeps the warp a
+4-tap gather. A cubic (Catmull-Rom) data warp is available via
+`AugmentConfig(data_interp_order=3)`; a controlled training comparison
+(tools/aug_interp_experiment.py, results in BASELINE.md) measured the
+bilinear-vs-cubic choice as training-neutral on the synthetic learnability
+task, backing the default.
 
 Layout: data (B, H, W, C) float32, seg (B, H, W) int32 (NHWC, channels last).
 """
@@ -75,6 +78,11 @@ class AugmentConfig:
     gamma_range: Tuple[float, float] = (0.7, 1.5)
     mirror_axes: Tuple[int, ...] = (0, 1)
     use_mask_for_norm: Tuple[bool, ...] = ()
+    # 1 = bilinear (default; pure 4-tap gather), 3 = cubic Catmull-Rom
+    # (16-tap; the reference pipeline's order_data=3 equivalent). The
+    # bilinear-vs-cubic choice was measured to be training-neutral — see
+    # BASELINE.md "Augmentation interpolation experiment".
+    data_interp_order: int = 1
 
 
 def _affine_coords(key, in_hw, out_hw, cfg: AugmentConfig):
@@ -123,6 +131,42 @@ def _bilinear_sample(img: jnp.ndarray, src_y, src_x, cval: float = 0.0):
         v = img[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
         v = jnp.where(valid[..., None], v, cval)
         out = out + v * w[..., None]
+    return out
+
+
+def _cubic_sample(img: jnp.ndarray, src_y, src_x, cval: float = 0.0):
+    """Separable cubic (Catmull-Rom, a=-0.5) warp of img (H, W, C): the
+    on-device stand-in for the reference pipeline's order-3 spatial warp
+    (batchgenerators SpatialTransform order_data=3). 16-tap gather; outside
+    taps contribute cval (border_mode_data='constant')."""
+    H, W, _ = img.shape
+    a = -0.5
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    fy = src_y - y0
+    fx = src_x - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def cubic_w(d):
+        ad = jnp.abs(d)
+        w_near = (a + 2.0) * ad ** 3 - (a + 3.0) * ad ** 2 + 1.0
+        w_far = a * ad ** 3 - 5.0 * a * ad ** 2 + 8.0 * a * ad - 4.0 * a
+        return jnp.where(ad <= 1.0, w_near, jnp.where(ad < 2.0, w_far, 0.0))
+
+    wy = [cubic_w(fy - dy) for dy in (-1, 0, 1, 2)]
+    wx = [cubic_w(fx - dx) for dx in (-1, 0, 1, 2)]
+    out = 0.0
+    for iy, dy in enumerate((-1, 0, 1, 2)):
+        yy = y0 + dy
+        vy = (yy >= 0) & (yy < H)
+        yc = jnp.clip(yy, 0, H - 1)
+        for ix, dx in enumerate((-1, 0, 1, 2)):
+            xx = x0 + dx
+            valid = vy & (xx >= 0) & (xx < W)
+            v = img[yc, jnp.clip(xx, 0, W - 1)]
+            v = jnp.where(valid[..., None], v, cval)
+            out = out + v * (wy[iy] * wx[ix])[..., None]
     return out
 
 
@@ -186,7 +230,8 @@ def _augment_one(key, data: jnp.ndarray, seg: jnp.ndarray, cfg: AugmentConfig):
 
     # 1. spatial: rotation + scale + center crop to the final patch
     src_y, src_x = _affine_coords(keys[0], data.shape[:2], (H_out, W_out), cfg)
-    x = _bilinear_sample(data, src_y, src_x, 0.0)
+    sample = _cubic_sample if cfg.data_interp_order == 3 else _bilinear_sample
+    x = sample(data, src_y, src_x, 0.0)
     seg = _nearest_sample(seg, src_y, src_x, -1)
 
     # 2. gaussian noise

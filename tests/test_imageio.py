@@ -1,0 +1,180 @@
+"""NIfTI I/O: endianness + orientation handling.
+
+Capability targets: ref dinounet/imageio/nibabel_reader_writer.py:100-160
+(reorient-to-RAS reader) and simpleitk_reader_writer.py:22-90 (direction-aware
+geometry). A volume stored with flipped/permuted voxel axes must read to the
+same canonical array + spacing as its RAS twin, and segmentations written back
+must overlay the source voxel-for-voxel.
+"""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from dinounet_tpu.imageio.nifti import (
+    NiftiIO,
+    read_nifti,
+    reorient_from_canonical,
+    write_nifti,
+)
+
+_HDR = 348
+
+
+def _write_raw_nifti(fname, arr_zyx, sform_rows, en="<", dtype=np.float32):
+    """Write a NIfTI-1 file with an explicit sform, in either byte order."""
+    arr = np.ascontiguousarray(arr_zyx.astype(dtype))
+    shape_f = arr.shape[::-1]
+    hdr = bytearray(_HDR)
+    struct.pack_into(en + "i", hdr, 0, _HDR)
+    dim = [3] + [int(s) for s in shape_f] + [1] * (7 - 3)
+    struct.pack_into(en + "8h", hdr, 40, *dim)
+    code = {np.dtype(np.float32): 16, np.dtype(np.uint8): 2,
+            np.dtype(np.int16): 4}[np.dtype(dtype)]
+    struct.pack_into(en + "h", hdr, 70, code)
+    struct.pack_into(en + "h", hdr, 72, np.dtype(dtype).itemsize * 8)
+    spac = [float(np.linalg.norm([r[j] for r in sform_rows])) for j in range(3)]
+    struct.pack_into(en + "8f", hdr, 76, 1.0, *spac, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(en + "f", hdr, 108, 352.0)
+    struct.pack_into(en + "f", hdr, 112, 1.0)
+    struct.pack_into(en + "f", hdr, 116, 0.0)
+    struct.pack_into(en + "h", hdr, 254, 1)  # sform_code
+    for i, row in enumerate(sform_rows):
+        struct.pack_into(en + "4f", hdr, 280 + 16 * i, *row)
+    hdr[344:348] = b"n+1\x00"
+    data = arr
+    if en == ">":
+        data = data.astype(data.dtype.newbyteorder(">"))
+    with gzip.open(fname, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)
+        f.write(data.tobytes())
+
+
+def _ras_rows(sx, sy, sz):
+    return ([sx, 0, 0, 0], [0, sy, 0, 0], [0, 0, sz, 0])
+
+
+class TestEndianness:
+    def test_big_endian_reads_same_as_little(self, tmp_path, rng):
+        arr = rng.standard_normal((4, 5, 6)).astype(np.float32)
+        le = str(tmp_path / "le.nii.gz")
+        be = str(tmp_path / "be.nii.gz")
+        _write_raw_nifti(le, arr, _ras_rows(1.0, 2.0, 3.0), en="<")
+        _write_raw_nifti(be, arr, _ras_rows(1.0, 2.0, 3.0), en=">")
+        a_le, p_le = NiftiIO().read_images((le,))
+        a_be, p_be = NiftiIO().read_images((be,))
+        np.testing.assert_array_equal(a_le, a_be)
+        assert p_le["spacing"] == pytest.approx(p_be["spacing"])
+
+    def test_big_endian_seg_roundtrip(self, tmp_path, rng):
+        seg = rng.integers(0, 3, (3, 4, 5)).astype(np.uint8)
+        be = str(tmp_path / "be.nii.gz")
+        _write_raw_nifti(be, seg, _ras_rows(1.0, 1.0, 1.0), en=">", dtype=np.uint8)
+        io = NiftiIO()
+        arr, props = io.read_seg(be)
+        np.testing.assert_array_equal(arr[0], seg)
+        out = str(tmp_path / "out.nii.gz")
+        io.write_seg(arr[0].astype(np.uint8), out, props)
+        # written in the template's (big-endian) byte order, reads back equal
+        back, _ = io.read_seg(out)
+        np.testing.assert_array_equal(back[0], seg)
+
+
+class TestReorientation:
+    @pytest.mark.parametrize("perm_f,signs", [
+        ((0, 1, 2), (-1, -1, 1)),   # LPS (flips only)
+        ((1, 0, 2), (1, 1, 1)),     # x/y axes swapped
+        ((2, 0, 1), (-1, 1, -1)),   # full permutation + flips
+    ])
+    def test_non_ras_reads_like_ras_twin(self, tmp_path, rng, perm_f, signs):
+        # canonical content with distinct per-axis spacing
+        canon = rng.standard_normal((4, 5, 6)).astype(np.float32)  # (z, y, x)
+        spacing_world = (1.0, 2.0, 3.0)  # (sx, sy, sz)
+
+        ras = str(tmp_path / "ras.nii.gz")
+        _write_raw_nifti(ras, canon, _ras_rows(*spacing_world))
+
+        # store the same world content in a permuted/flipped voxel order with
+        # the matching sform: disk voxel axis j points along world axis w
+        # (where perm_f[w] = j) with sign signs[j]
+        disk = reorient_from_canonical(canon, perm_f, signs)
+        world_of = [0, 0, 0]
+        for w, j in enumerate(perm_f):
+            world_of[j] = w
+        rows = [[0.0, 0.0, 0.0, 0.0] for _ in range(3)]
+        for j in range(3):
+            w = world_of[j]
+            rows[w][j] = signs[j] * spacing_world[w]
+        alt = str(tmp_path / "alt.nii.gz")
+        _write_raw_nifti(alt, disk, rows)
+
+        a_ras, p_ras = NiftiIO().read_images((ras,))
+        a_alt, p_alt = NiftiIO().read_images((alt,))
+        np.testing.assert_array_equal(a_ras, a_alt)
+        assert p_alt["spacing"] == pytest.approx(p_ras["spacing"])
+        # spacing is (z, y, x) = (sz, sy, sx)
+        assert p_ras["spacing"] == pytest.approx([3.0, 2.0, 1.0])
+
+    def test_seg_written_back_in_source_orientation(self, tmp_path, rng):
+        canon_img = rng.standard_normal((4, 5, 6)).astype(np.float32)
+        perm_f, signs = (1, 2, 0), (-1, 1, -1)
+        disk = reorient_from_canonical(canon_img, perm_f, signs)
+        world_of = [0, 0, 0]
+        for w, j in enumerate(perm_f):
+            world_of[j] = w
+        rows = [[0.0, 0.0, 0.0, 0.0] for _ in range(3)]
+        for j in range(3):
+            rows[world_of[j]][j] = signs[j] * 1.0
+        src = str(tmp_path / "src.nii.gz")
+        _write_raw_nifti(src, disk, rows)
+
+        io = NiftiIO()
+        img, props = io.read_images((src,))
+        # segment in canonical space (threshold), write back
+        seg_canon = (img[0] > 0).astype(np.uint8)
+        out = str(tmp_path / "seg.nii.gz")
+        io.write_seg(seg_canon, out, props)
+
+        # raw disk array of the written seg must overlay the raw disk image
+        raw_seg, hdr_seg = read_nifti(out)
+        np.testing.assert_array_equal(raw_seg, (disk > 0).astype(np.uint8))
+        # and its sform must equal the source's (geometry preserved verbatim)
+        np.testing.assert_allclose(
+            hdr_seg["affine"], read_nifti(src)[1]["affine"], atol=1e-6)
+
+    def test_identity_orientation_unchanged(self, tmp_path, rng):
+        # writer-created files (positive diagonal sform) must read unchanged
+        arr = rng.standard_normal((3, 4, 5)).astype(np.float32)
+        f = str(tmp_path / "x.nii.gz")
+        write_nifti(f, arr, (1.0, 1.5, 2.0))
+        got, props = NiftiIO().read_images((f,))
+        np.testing.assert_allclose(got[0], arr, rtol=1e-6)
+        assert props["spacing"] == pytest.approx([2.0, 1.5, 1.0])
+
+
+class TestQform:
+    def test_qform_only_identity_rotation(self, tmp_path, rng):
+        # qform with unit quaternion (no rotation) = RAS; spacing from pixdim
+        arr = rng.standard_normal((3, 4, 5)).astype(np.float32)
+        fname = str(tmp_path / "q.nii.gz")
+        hdr = bytearray(_HDR)
+        struct.pack_into("<i", hdr, 0, _HDR)
+        struct.pack_into("<8h", hdr, 40, 3, 5, 4, 3, 1, 1, 1, 1)
+        struct.pack_into("<h", hdr, 70, 16)
+        struct.pack_into("<h", hdr, 72, 32)
+        struct.pack_into("<8f", hdr, 76, 1.0, 1.0, 2.0, 3.0, 1.0, 1.0, 1.0, 1.0)
+        struct.pack_into("<f", hdr, 108, 352.0)
+        struct.pack_into("<f", hdr, 112, 1.0)
+        struct.pack_into("<h", hdr, 252, 1)  # qform_code, no sform
+        struct.pack_into("<3f", hdr, 256, 0.0, 0.0, 0.0)  # b=c=d=0
+        hdr[344:348] = b"n+1\x00"
+        with gzip.open(fname, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(b"\x00" * 4)
+            f.write(arr.tobytes())
+        got, props = NiftiIO().read_images((fname,))
+        np.testing.assert_allclose(got[0], arr, rtol=1e-6)
+        assert props["spacing"] == pytest.approx([3.0, 2.0, 1.0])

@@ -296,7 +296,10 @@ def test_converter_bf16_checkpoint(tmp_path):
     pth = os.path.join(tmp_path, "ckpt.pth")
     torch.save(sd, pth)
     out = os.path.join(tmp_path, "backbone.msgpack")
-    convert_torch_checkpoint(pth, "dinov3_vits16", out)
+    # verify=False: this is a deliberately partial synthetic checkpoint (no
+    # bias_mask/mask_token/rope buffer); published-layout verification is
+    # covered by test_convert_manifest.py
+    convert_torch_checkpoint(pth, "dinov3_vits16", out, verify=False)
 
     params = load_backbone_params(out)
     k = params["block0"]["attn"]["qkv"]["kernel"]

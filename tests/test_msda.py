@@ -145,3 +145,119 @@ class TestPallasBackwardKernel:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_c),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestPremappedLayout:
+    """ms_deform_attn_pallas_premapped (kernel-native layouts, coords in pixel
+    space, no padding when Lq divides a lane-aligned block) vs the gather
+    core — forward and custom-VJP gradients."""
+
+    @staticmethod
+    def _premap(value, shapes, loc, attn):
+        B, S, M, D = value.shape
+        _, Lq, _, L, P, _ = loc.shape
+        sizes = np.array([[w, h] for (h, w) in shapes], np.float32)
+        unnorm = loc * sizes[None, None, None, :, None, :] - 0.5
+        xs = unnorm[..., 0].transpose(0, 2, 3, 4, 1).reshape(B, M, L * P, Lq)
+        ys = unnorm[..., 1].transpose(0, 2, 3, 4, 1).reshape(B, M, L * P, Lq)
+        aw = attn.transpose(0, 2, 3, 4, 1).reshape(B, M, L * P, Lq)
+        v = value.transpose(0, 2, 3, 1)
+        return v, xs, ys, aw
+
+    @pytest.mark.parametrize("Lq", [37, 128, 256])
+    def test_forward_matches_core(self, rng, Lq):
+        from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas_premapped
+
+        value, loc, attn, shapes = _random_inputs(
+            rng, B=2, M=3, D=8, Lq=Lq, shapes=((8, 16), (4, 8)))
+        ref = np.asarray(ms_deform_attn_core(
+            jnp.array(value), shapes, jnp.array(loc), jnp.array(attn)))
+        v, xs, ys, aw = self._premap(value, shapes, loc, attn)
+        out_t = ms_deform_attn_pallas_premapped(
+            jnp.array(v), shapes, jnp.array(xs), jnp.array(ys),
+            jnp.array(aw), True)
+        B, M, D, _ = v.shape
+        got = np.asarray(out_t).transpose(0, 3, 1, 2).reshape(2, Lq, M * D)
+        np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_core(self, rng):
+        from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas_premapped
+
+        value, loc, attn, shapes = _random_inputs(
+            rng, B=1, M=2, D=4, Lq=29, shapes=((6, 8),), P=2)
+        v, xs, ys, aw = self._premap(value, shapes, loc, attn)
+        B, M, D, _ = v.shape
+        Lq = 29
+
+        def f_pre(v_, xs_, ys_, aw_):
+            out = ms_deform_attn_pallas_premapped(v_, shapes, xs_, ys_, aw_, True)
+            return (out ** 2).sum()
+
+        def f_core(v_, xs_, ys_, aw_):
+            # rebuild reference layouts from premapped ones (pure jnp ops)
+            sizes = np.array([[w, h] for (h, w) in shapes], np.float32)
+            L, P = len(shapes), xs_.shape[2] // len(shapes)
+            val = v_.transpose(0, 3, 1, 2)
+            x_n = ((xs_ + 0.5).reshape(B, M, L, P, Lq)
+                   / sizes[None, None, :, None, 0:1])
+            y_n = ((ys_ + 0.5).reshape(B, M, L, P, Lq)
+                   / sizes[None, None, :, None, 1:2])
+            loc_ = jnp.stack([x_n, y_n], -1).transpose(0, 4, 1, 2, 3, 5)
+            attn_ = aw_.reshape(B, M, L, P, Lq).transpose(0, 4, 1, 2, 3)
+            return (ms_deform_attn_core(val, shapes, loc_, attn_) ** 2).sum()
+
+        args = (jnp.array(v), jnp.array(xs), jnp.array(ys), jnp.array(aw))
+        g_pre = jax.grad(f_pre, argnums=(0, 1, 2, 3))(*args)
+        g_core = jax.grad(f_core, argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(g_pre, g_core):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_blk_q_selection(self):
+        from dinounet_tpu.ops.msda_pallas import BLK_Q, _pick_blk_q
+
+        assert _pick_blk_q(5376) == 384   # DinoUNet 512^2: 21*(512/32)^2, exact
+        assert _pick_blk_q(1024) == 512
+        assert _pick_blk_q(768) == 384
+        assert _pick_blk_q(37) == BLK_Q   # generic: pad path
+
+
+class TestModuleBranchParity:
+    """The adapter's MSDeformAttn premapped (TPU) branch and the Dense/gather
+    (CPU) branch must produce identical outputs from identical params."""
+
+    def test_premapped_branch_matches_dense_branch(self, rng, monkeypatch):
+        from dinounet_tpu.models.adapter import (
+            MSDeformAttn,
+            reference_points_for_grids,
+        )
+        from dinounet_tpu.ops import msda_pallas
+
+        # route the premapped kernel through interpret mode on CPU
+        orig = msda_pallas._forward_premapped
+        monkeypatch.setattr(
+            msda_pallas, "_forward_premapped",
+            lambda v, s, xs, ys, aw, interp=False: orig(v, s, xs, ys, aw, True))
+
+        B, Lq, E = 2, 21, 32
+        shapes = ((4, 4),)
+        query = jnp.asarray(rng.standard_normal((B, Lq, E)), jnp.float32)
+        tokens = jnp.asarray(rng.standard_normal((B, 16, E)), jnp.float32)
+        ref_pts = jnp.asarray(
+            reference_points_for_grids([(4, 4), (2, 2), (1, 1)]))  # 21 pts
+        mod = MSDeformAttn(d_model=E, n_heads=4, n_points=2, ratio=0.5,
+                           dtype=jnp.float32)
+
+        monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "jax")
+        variables = mod.init(jax.random.PRNGKey(0), query, ref_pts, tokens, shapes)
+        out_dense = mod.apply(variables, query, ref_pts, tokens, shapes)
+
+        monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "pallas")
+        # param trees must be interchangeable between branches
+        variables_p = mod.init(jax.random.PRNGKey(0), query, ref_pts, tokens, shapes)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables_p)
+        out_pre = mod.apply(variables, query, ref_pts, tokens, shapes)
+
+        np.testing.assert_allclose(np.asarray(out_dense), np.asarray(out_pre),
+                                   rtol=2e-5, atol=2e-5)

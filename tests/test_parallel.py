@@ -161,6 +161,42 @@ class TestDinoUNet7BSpecs:
         assert sharded / total > 0.85, sharded / total
 
 
+class TestMultihostInitialize:
+    """multihost_initialize replaces dist.init_process_group (ref
+    run/run_training.py:104-106): kwargs must pass through verbatim,
+    re-entrant init is tolerated, real misconfiguration raises."""
+
+    def test_kwargs_pass_through(self, monkeypatch):
+        from dinounet_tpu.parallel import mesh as mesh_mod
+
+        seen = {}
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: seen.update(kw))
+        mesh_mod.multihost_initialize(
+            coordinator_address="10.0.0.1:1234", num_processes=4, process_id=2)
+        assert seen == {"coordinator_address": "10.0.0.1:1234",
+                        "num_processes": 4, "process_id": 2}
+
+    def test_already_initialized_tolerated(self, monkeypatch):
+        from dinounet_tpu.parallel import mesh as mesh_mod
+
+        def boom(**kw):
+            raise RuntimeError("jax.distributed is already initialized")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        mesh_mod.multihost_initialize()  # must not raise
+
+    def test_misconfiguration_raises(self, monkeypatch):
+        from dinounet_tpu.parallel import mesh as mesh_mod
+
+        def boom(**kw):
+            raise RuntimeError("Unable to connect to coordinator")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="coordinator"):
+            mesh_mod.multihost_initialize(coordinator_address="bad:0")
+
+
 def test_batch_dice_global_under_gspmd(cpu8):
     """The reference needs AllGatherGrad to make batch-dice global under DDP
     (ref utilities/ddp_allgather.py:25-48, training/loss/dice.py:36-38); under

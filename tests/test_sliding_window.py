@@ -194,3 +194,58 @@ class TestShapeBucketing:
             lambda x: x, data, (64, 64), num_classes=1, tile_batch=4)
         assert out.shape == (1, 5, 70, 70)
         np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+
+class TestHostAccumulationFallback:
+    """Memory escape hatch (ref predict_from_raw_data.py:709-718): when the
+    fp32 accumulators exceed the device budget, tiles are predicted on device
+    but accumulated host-side — results must be identical to the device path."""
+
+    def test_budget_trips_host_path_2d(self, rng, monkeypatch):
+        monkeypatch.setenv("DINOUNET_TPU_SW_ACCUM_BUDGET_BYTES", "0")
+        data = rng.standard_normal((2, 2, 70, 90)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (32, 32), num_classes=2,
+            tile_step_size=0.5, mirror_axes=(0, 1), tile_batch=4)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+    def test_budget_trips_host_path_3d(self, rng, monkeypatch):
+        monkeypatch.setenv("DINOUNET_TPU_SW_ACCUM_BUDGET_BYTES", "0")
+        data = rng.standard_normal((1, 40, 40, 40)).astype(np.float32)
+        out = predict_sliding_window_return_logits(
+            _identity_apply, data, (16, 16, 16), num_classes=1,
+            tile_step_size=0.5, tile_batch=2)
+        np.testing.assert_allclose(out, data, rtol=1e-4, atol=1e-4)
+
+    def test_host_path_matches_device_path(self, rng, monkeypatch):
+        # non-equivariant network (per-class affine of channel mean) so the
+        # comparison is not trivially identity
+        def net(x):
+            m = jnp.mean(x, axis=-1, keepdims=True)
+            return jnp.concatenate([m, 2.0 * m + 1.0], axis=-1)
+
+        data = rng.standard_normal((3, 1, 60, 75)).astype(np.float32)
+        dev = predict_sliding_window_return_logits(
+            net, data, (32, 32), num_classes=2, tile_batch=3)
+        monkeypatch.setenv("DINOUNET_TPU_SW_ACCUM_BUDGET_BYTES", "0")
+        host = predict_sliding_window_return_logits(
+            net, data, (32, 32), num_classes=2, tile_batch=3)
+        np.testing.assert_allclose(host, dev, rtol=1e-4, atol=1e-4)
+
+    def test_predictor_fold_loop_host_path(self, rng, monkeypatch):
+        # the prebuilt-predictor path carries its apply_fn for the fallback
+        from dinounet_tpu.inference.sliding_window import make_tile_predictor
+
+        predictor = make_tile_predictor(
+            lambda v, x: x * v["scale"], (32, 32), num_classes=1, tile_batch=2)
+        data = rng.standard_normal((1, 1, 50, 50)).astype(np.float32)
+        variables = {"scale": jnp.float32(3.0)}
+        dev = predict_sliding_window_return_logits(
+            None, data, (32, 32), num_classes=1, predictor=predictor,
+            variables=variables)
+        monkeypatch.setenv("DINOUNET_TPU_SW_ACCUM_BUDGET_BYTES", "0")
+        host = predict_sliding_window_return_logits(
+            None, data, (32, 32), num_classes=1, predictor=predictor,
+            variables=variables, tile_batch=2)
+        np.testing.assert_allclose(host, dev, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(host, 3.0 * data, rtol=1e-4, atol=1e-4)

@@ -671,3 +671,51 @@ def test_batch_prefetcher():
     pf2 = nnUNetTrainer._BatchPrefetcher(Slow())
     _time.sleep(0.3)  # queue fills
     pf2.close()
+
+
+class TestCubicWarp:
+    """Optional order-3 (Catmull-Rom) data warp (AugmentConfig.data_interp_order=3),
+    the on-device equivalent of the reference's batchgenerators order_data=3."""
+
+    def test_identity_transform_exact(self, rng):
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import _cubic_sample
+
+        img = jnp.asarray(rng.standard_normal((12, 14, 2)), jnp.float32)
+        yy, xx = jnp.meshgrid(jnp.arange(12.0), jnp.arange(14.0), indexing="ij")
+        out = _cubic_sample(img, yy, xx, 0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_linear_ramp_reproduced(self):
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import _cubic_sample
+
+        # Catmull-Rom reproduces linear functions exactly (away from borders)
+        yy, xx = jnp.meshgrid(jnp.arange(16.0), jnp.arange(16.0), indexing="ij")
+        img = (2.0 * yy + 3.0 * xx)[..., None]
+        sy = yy[2:-3, 2:-3] + 0.37
+        sx = xx[2:-3, 2:-3] + 0.61
+        out = _cubic_sample(img, sy, sx, 0.0)
+        expect = 2.0 * sy + 3.0 * sx
+        np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_order3_config_runs_through_pipeline(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from dinounet_tpu.training.augmentation import (
+            AugmentConfig,
+            augment_batch_2d,
+        )
+
+        cfg = AugmentConfig(patch_size=(16, 16), data_interp_order=3)
+        data = jnp.asarray(rng.standard_normal((2, 24, 24, 1)), jnp.float32)
+        seg = jnp.asarray(rng.integers(0, 3, (2, 24, 24)), jnp.int32)
+        x, s = augment_batch_2d(jax.random.PRNGKey(0), data, seg, cfg)
+        assert x.shape == (2, 16, 16, 1)
+        assert s.shape == (2, 16, 16)
+        assert np.isfinite(np.asarray(x)).all()
