@@ -31,6 +31,19 @@ def use_pallas_msda() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def msda_bf16_build() -> bool:
+    """Opt-in bf16 bilinear-matrix build in the MSDA forward kernel.
+
+    The factorized W-build is the kernel's VPU-bound dominant cost; packing it
+    bf16 doubles VPU throughput. Coordinates and bilinear weights are still
+    computed in f32 (bf16 coords would quantize sampling positions by up to
+    1/16 px at grid size 32) — only the thin per-point weight vectors are cast
+    before the big (H, W, Q) accumulate, and the MXU contraction runs
+    bf16xbf16 -> f32. Inference-path only; the backward kernel stays f32.
+    Env DINOUNET_TPU_MSDA_BF16=1 to enable (measure before defaulting)."""
+    return os.environ.get("DINOUNET_TPU_MSDA_BF16", "0") == "1"
+
+
 def use_fused_attention() -> bool:
     """Fused RoPE+SDPA Pallas kernel for the frozen backbone (TPU only).
 

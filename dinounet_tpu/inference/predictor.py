@@ -670,4 +670,13 @@ def predict_entry_point_modelfolder():
 
 
 if __name__ == "__main__":
-    predict_entry_point()
+    import sys as _sys
+
+    # `python -m dinounet_tpu.inference.predictor from-folder ...` routes to
+    # the explicit-model-folder CLI (ref predict_from_raw_data.py:779-871 has
+    # two console entry points; module execution multiplexes them)
+    if len(_sys.argv) > 1 and _sys.argv[1] == "from-folder":
+        _sys.argv = [_sys.argv[0]] + _sys.argv[2:]
+        predict_entry_point_modelfolder()
+    else:
+        predict_entry_point()

@@ -96,13 +96,18 @@ def _row_col_weights(iota_h, iota_w, H, W, x, y):
     return yw, xw, dyw, dxw
 
 
-def _fwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, out_ref):
+def _fwd_kernel(shapes, P, build_dtype, xs_ref, ys_ref, aw_ref, value_ref,
+                out_ref):
     """One program = one (b, m, q-block).
 
     xs_ref/ys_ref/aw_ref: (1, 1, L*P, BLK) fp32 — unnormalized sample coords
       (align_corners=False pixel space) and softmaxed attention weights.
-    value_ref: (1, 1, D, S) fp32.
+    value_ref: (1, 1, D, S) in build_dtype.
     out_ref:   (1, 1, D, BLK) fp32.
+
+    build_dtype=bfloat16 (opt-in, configuration.msda_bf16_build) packs the
+    dominant (H, W, Q) accumulate at 2x VPU rate; coords/weights stay f32 up
+    to the thin per-point vectors, the MXU dot accumulates f32.
     """
     D = value_ref.shape[2]
     Q = out_ref.shape[3]
@@ -112,14 +117,16 @@ def _fwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, out_ref):
         S_l = H * W
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, Q), 0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, Q), 0)
-        w3 = jnp.zeros((H, W, Q), jnp.float32)
+        w3 = jnp.zeros((H, W, Q), build_dtype)
         for p in range(P):
             row = lvl * P + p
             x = xs_ref[0, 0, row : row + 1, :]  # (1, BLK)
             y = ys_ref[0, 0, row : row + 1, :]
             aw = aw_ref[0, 0, row : row + 1, :]
             yw, xw, _, _ = _row_col_weights(iota_h, iota_w, H, W, x, y)
-            w3 = w3 + yw[:, None, :] * (aw * xw)[None, :, :]
+            yw = yw.astype(build_dtype)
+            awxw = (aw * xw).astype(build_dtype)
+            w3 = w3 + yw[:, None, :] * awxw[None, :, :]
         v = value_ref[0, 0, :, start : start + S_l]  # (D, S_l)
         acc = acc + jax.lax.dot_general(
             v, w3.reshape(S_l, Q), (((1,), (0,)), ((), ())),
@@ -147,20 +154,25 @@ def _pad_q(arrs, blk, coord_pad=-10.0):
 def _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret=False):
     """Kernel-native layouts in, kernel-native layout out.
 
-    v: (B, M, D, S) fp32; xs/ys: (B, M, L*P, Lq) fp32 unnormalized pixel
-    coords (value_grid * loc - 0.5); aw: (B, M, L*P, Lq) fp32.
-    Returns (B, M, D, Lq) fp32."""
+    v: (B, M, D, S) fp32 (or bf16 under msda_bf16_build); xs/ys:
+    (B, M, L*P, Lq) fp32 unnormalized pixel coords (value_grid * loc - 0.5);
+    aw: (B, M, L*P, Lq) fp32. Returns (B, M, D, Lq) fp32."""
+    from dinounet_tpu.configuration import msda_bf16_build
+
     B, M, D, S = v.shape
     LP, Lq = xs.shape[2], xs.shape[3]
     L = len(spatial_shapes)
     P = LP // L
+    build_dtype = jnp.bfloat16 if msda_bf16_build() else jnp.float32
+    v = v.astype(build_dtype)
 
     blk = _pick_blk_q(Lq)
     xs, ys, aw = _pad_q([(xs, True), (ys, True), (aw, False)], blk)
     Lq_p = xs.shape[3]
     n_qb = Lq_p // blk
 
-    kernel = functools.partial(_fwd_kernel, tuple(spatial_shapes), P)
+    kernel = functools.partial(_fwd_kernel, tuple(spatial_shapes), P,
+                               build_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(B, M, n_qb),

@@ -261,3 +261,21 @@ class TestModuleBranchParity:
 
         np.testing.assert_allclose(np.asarray(out_dense), np.asarray(out_pre),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_build_parity(rng, monkeypatch):
+    """Opt-in bf16 W-build (DINOUNET_TPU_MSDA_BF16=1): parity with the core at
+    the reference test's own fp tolerance (ref ops/test.py:36-89 uses rtol
+    1e-2 / atol 1e-3 for the sub-fp32 path)."""
+    from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas_premapped
+
+    value, loc, attn, shapes = _random_inputs(
+        rng, B=2, M=3, D=8, Lq=128, shapes=((8, 16), (4, 8)))
+    ref = np.asarray(ms_deform_attn_core(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(attn)))
+    v, xs, ys, aw = TestPremappedLayout._premap(value, shapes, loc, attn)
+    monkeypatch.setenv("DINOUNET_TPU_MSDA_BF16", "1")
+    out_t = ms_deform_attn_pallas_premapped(
+        jnp.array(v), shapes, jnp.array(xs), jnp.array(ys), jnp.array(aw), True)
+    got = np.asarray(out_t).transpose(0, 3, 1, 2).reshape(2, 128, 3 * 8)
+    np.testing.assert_allclose(ref, got, rtol=2e-2, atol=2e-2)

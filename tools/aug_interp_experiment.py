@@ -21,6 +21,20 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def pin_cpu():
+    """Run on CPU regardless of the registered TPU platform (tiny shapes; and
+    the axon tunnel may be unavailable)."""
+    import os
+
+    # impl selection keys off the default *backend*, which stays TPU even
+    # with a CPU default device — force the portable paths
+    os.environ["DINOUNET_TPU_MSDA_IMPL"] = "jax"
+    os.environ["DINOUNET_TPU_ATTN_IMPL"] = "jax"
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def make_cases(rng, n_cases=10, size=96):
     """Synthetic disks whose intensity correlates with the label."""
     import numpy as np
@@ -120,6 +134,7 @@ def run_one(order: int, seed: int, n_steps: int):
 
 
 def main(n_seeds=3, n_steps=150):
+    pin_cpu()
     results = {1: [], 3: []}
     for seed in range(n_seeds):
         for order in (1, 3):
