@@ -29,7 +29,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(batch):
+def build(batch, model_name=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,9 +41,13 @@ def build(batch):
     )
     from dinounet_tpu.models.vit import VIT_CONFIGS
 
+    # headline metric is dinounet_b; DINOUNET_TPU_BENCH_MODEL overrides for
+    # the BASELINE.md side table (dinounet_s/l/7b)
+    model_name = model_name or os.environ.get("DINOUNET_TPU_BENCH_MODEL",
+                                              "dinounet_b")
     cfg = DinoUNetConfig(
-        vit=VIT_CONFIGS[DINOV3_MODEL_NAMES["dinounet_b"]],
-        interaction_indexes=DINOV3_INTERACTION_INDEXES["dinounet_b"],
+        vit=VIT_CONFIGS[DINOV3_MODEL_NAMES[model_name]],
+        interaction_indexes=DINOV3_INTERACTION_INDEXES[model_name],
         num_classes=3,
     )
     model = DinoUNet(cfg)
@@ -103,7 +107,8 @@ def main():
         raise SystemExit("benchmark failed for all configurations")
 
     print(json.dumps({
-        "metric": "sliding_window_patches_per_sec_dinounet_b",
+        "metric": "sliding_window_patches_per_sec_"
+                  + os.environ.get("DINOUNET_TPU_BENCH_MODEL", "dinounet_b"),
         "value": round(value, 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),

@@ -40,7 +40,9 @@ def msda_bf16_build() -> bool:
     1/16 px at grid size 32) — only the thin per-point weight vectors are cast
     before the big (H, W, Q) accumulate, and the MXU contraction runs
     bf16xbf16 -> f32. Inference-path only; the backward kernel stays f32.
-    Env DINOUNET_TPU_MSDA_BF16=1 to enable (measure before defaulting)."""
+    Env DINOUNET_TPU_MSDA_BF16=1 to enable. MEASURED NEGATIVE on v5e
+    (BASELINE.md round 2: 139.0 -> 116.6 p/s end-to-end) — kept only as an
+    experiment knob for other hardware generations; do not enable on v5e."""
     return os.environ.get("DINOUNET_TPU_MSDA_BF16", "0") == "1"
 
 

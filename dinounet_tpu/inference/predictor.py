@@ -315,6 +315,11 @@ class nnUNetPredictor:
         from dinounet_tpu.parallel import make_mesh
 
         platform = os.environ.get("DINOUNET_TPU_PLATFORM")
+        if platform is None:
+            # honor an explicitly-pinned default device (tests pin CPU) —
+            # never initialize a backend the session isn't using
+            dd = jax.config.jax_default_device
+            platform = getattr(dd, "platform", None)
         devices = jax.devices(platform) if platform else jax.devices()
         if len(devices) <= 1:
             return None

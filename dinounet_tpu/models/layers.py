@@ -26,6 +26,10 @@ def nonlin_fn(name: str, kwargs: Optional[dict] = None) -> Callable:
     kwargs = kwargs or {}
     if name == "leaky_relu":
         slope = kwargs.get("negative_slope", 0.01)
+        # NOTE: rewriting as jnp.maximum(x, slope*x) to fuse away the decoder's
+        # standalone 1.6 ms select_n pass was measured SLOWER end-to-end
+        # (139.0 -> 135.9 p/s, BASELINE.md round 2) — the select pass
+        # apparently overlaps/fuses better than the max. Keep flax's form.
         return lambda x: nn.leaky_relu(x, negative_slope=slope)
     if name == "relu":
         return nn.relu

@@ -156,6 +156,10 @@ class nnUNetTrainer:
 
         n_model = int(os.environ.get("DINOUNET_TPU_MODEL_AXIS", "1"))
         platform = os.environ.get("DINOUNET_TPU_PLATFORM")  # e.g. "cpu" for tests
+        if platform is None:
+            # honor an explicitly-pinned default device (tests pin CPU)
+            dd = jax.config.jax_default_device
+            platform = getattr(dd, "platform", None)
         devices = jax.devices(platform) if platform else None
         return make_mesh(n_model=n_model, devices=devices)
 
@@ -551,8 +555,13 @@ class nnUNetTrainer:
             k: str(v) for k, v in self.__dict__.items()
             if not k.startswith("_") and isinstance(v, (str, int, float, bool))
         }
-        dct["device_count"] = jax.device_count()
-        dct["backend"] = jax.default_backend()
+        # honor an explicitly-pinned default device (tests pin CPU) so the
+        # debug dump never initializes an unused backend
+        dd = jax.config.jax_default_device
+        platform = getattr(dd, "platform", None)
+        dct["device_count"] = (len(jax.devices(platform)) if platform
+                               else jax.device_count())
+        dct["backend"] = platform or jax.default_backend()
         save_json(dct, os.path.join(self.output_folder, "debug.json"))
 
     def _batch_to_device(self, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
