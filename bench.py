@@ -106,13 +106,17 @@ def main():
     if value is None:
         raise SystemExit("benchmark failed for all configurations")
 
-    print(json.dumps({
-        "metric": "sliding_window_patches_per_sec_"
-                  + os.environ.get("DINOUNET_TPU_BENCH_MODEL", "dinounet_b"),
+    model = os.environ.get("DINOUNET_TPU_BENCH_MODEL", "dinounet_b")
+    out = {
+        "metric": "sliding_window_patches_per_sec_" + model,
         "value": round(value, 2),
         "unit": "patches/sec/chip",
-        "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),
-    }), flush=True)
+    }
+    if model == "dinounet_b":
+        # the 60 p/s A100 estimate is a dinounet_b baseline; a ratio for any
+        # other model would be meaningless
+        out["vs_baseline"] = round(value / BASELINE_PATCHES_PER_SEC, 3)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -201,7 +201,15 @@ def _build_header(shape_f, spacing_xyz, dtype: np.dtype,
     code = _DTYPE_CODES[np.dtype(dtype)]
     struct.pack_into(en + "h", hdr, 70, code)
     struct.pack_into(en + "h", hdr, 72, np.dtype(dtype).itemsize * 8)
-    pixdim = [1.0] + [float(s) for s in spacing_xyz] + [1.0] * (7 - len(spacing_xyz))
+    # preserve the template's qfac (pixdim[0]): a qform-only source with
+    # qfac=-1 keeps its k-axis handedness — overwriting with +1 would flip
+    # the quaternion-derived affine's third column
+    qfac = 1.0
+    if template is not None:
+        tpl_qfac = struct.unpack_from(en + "f", template, 76)[0]
+        if tpl_qfac < 0:
+            qfac = -1.0
+    pixdim = [qfac] + [float(s) for s in spacing_xyz] + [1.0] * (7 - len(spacing_xyz))
     struct.pack_into(en + "8f", hdr, 76, *pixdim[:8])
     struct.pack_into(en + "f", hdr, 108, 352.0)  # vox_offset
     struct.pack_into(en + "f", hdr, 112, 1.0)  # scl_slope

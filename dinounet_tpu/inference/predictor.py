@@ -317,9 +317,10 @@ class nnUNetPredictor:
         platform = os.environ.get("DINOUNET_TPU_PLATFORM")
         if platform is None:
             # honor an explicitly-pinned default device (tests pin CPU) —
-            # never initialize a backend the session isn't using
+            # never initialize a backend the session isn't using; the config
+            # value may be a Device object or a platform string
             dd = jax.config.jax_default_device
-            platform = getattr(dd, "platform", None)
+            platform = dd if isinstance(dd, str) else getattr(dd, "platform", None)
         devices = jax.devices(platform) if platform else jax.devices()
         if len(devices) <= 1:
             return None

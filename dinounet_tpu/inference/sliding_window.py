@@ -72,11 +72,16 @@ def pad_nd_image(image: np.ndarray, new_shape: Sequence[int],
     return padded, revert
 
 
-def _mirror_variants_2d(mirror_axes: Optional[Tuple[int, ...]]):
-    """All flip combinations over (H, W) axes of an NHWC batch."""
+def _mirror_variants(mirror_axes: Optional[Tuple[int, ...]]):
+    """All flip combinations of mirror TTA (ref predict_from_raw_data.py:537-552).
+
+    mirror_axes index SPATIAL axes; tiles are batched (N, *spatial, C), so
+    each becomes batch-array axis a+1 — identical for 2-D (NHWC) and 3-D
+    (NDHWC) tile batches. Shared by the device tile predictors and the
+    host-accumulation fallback so TTA semantics can never diverge."""
     variants = [()]
     if mirror_axes:
-        axes = tuple(a + 1 for a in mirror_axes)  # NHWC spatial axes 1, 2
+        axes = tuple(a + 1 for a in mirror_axes)
         import itertools
 
         variants = [
@@ -110,7 +115,7 @@ def make_tile_predictor_2d(apply_fn: Callable, patch_size: Tuple[int, int],
     gaussian = jnp.asarray(compute_gaussian((ph, pw)))[None, :, :, None]
     if not use_gaussian:
         gaussian = jnp.ones_like(gaussian)
-    variants = _mirror_variants_2d(mirror_axes)
+    variants = _mirror_variants(mirror_axes)
 
     @jax.jit
     def predict(volume, offsets, variables, target=None):
@@ -213,14 +218,7 @@ def make_tile_predictor_3d(apply_fn: Callable, patch_size: Tuple[int, int, int],
     gaussian = jnp.asarray(compute_gaussian((pd, ph, pw)))[None, ..., None]
     if not use_gaussian:
         gaussian = jnp.ones_like(gaussian)
-    variants = [()]
-    if mirror_axes:
-        import itertools
-
-        axes = tuple(a + 1 for a in mirror_axes)  # (B, D, H, W, C) spatial 1..3
-        variants = [
-            c for i in range(len(axes) + 1) for c in itertools.combinations(axes, i)
-        ]
+    variants = _mirror_variants(mirror_axes)
 
     @jax.jit
     def predict(volume, offsets, variables, target=None):
@@ -436,14 +434,7 @@ def make_tile_batch_forward(apply_fn: Callable, patch_size, num_classes: int,
     if not use_gaussian:
         gaussian = np.ones_like(gaussian)
     g_dev = jnp.asarray(gaussian)[(None,) + (slice(None),) * nd + (None,)]
-    variants = [()]
-    if mirror_axes:
-        import itertools
-
-        axes = tuple(a + 1 for a in mirror_axes)
-        variants = [
-            c for i in range(len(axes) + 1) for c in itertools.combinations(axes, i)
-        ]
+    variants = _mirror_variants(mirror_axes)
 
     @jax.jit
     def forward(volume, offs, variables, target=None):

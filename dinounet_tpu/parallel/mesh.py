@@ -57,6 +57,9 @@ def multihost_initialize(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if "already initialized" in str(e).lower():
+        msg = str(e).lower()
+        # jax <=0.4 raises "...already initialized"; jax 0.9 raises
+        # "distributed.initialize should only be called once."
+        if "already initialized" in msg or "only be called once" in msg:
             return
         raise

@@ -157,9 +157,10 @@ class nnUNetTrainer:
         n_model = int(os.environ.get("DINOUNET_TPU_MODEL_AXIS", "1"))
         platform = os.environ.get("DINOUNET_TPU_PLATFORM")  # e.g. "cpu" for tests
         if platform is None:
-            # honor an explicitly-pinned default device (tests pin CPU)
+            # honor an explicitly-pinned default device (tests pin CPU);
+            # may be a Device object or a platform string
             dd = jax.config.jax_default_device
-            platform = getattr(dd, "platform", None)
+            platform = dd if isinstance(dd, str) else getattr(dd, "platform", None)
         devices = jax.devices(platform) if platform else None
         return make_mesh(n_model=n_model, devices=devices)
 
@@ -556,9 +557,10 @@ class nnUNetTrainer:
             if not k.startswith("_") and isinstance(v, (str, int, float, bool))
         }
         # honor an explicitly-pinned default device (tests pin CPU) so the
-        # debug dump never initializes an unused backend
+        # debug dump never initializes an unused backend; may be a Device
+        # object or a platform string
         dd = jax.config.jax_default_device
-        platform = getattr(dd, "platform", None)
+        platform = dd if isinstance(dd, str) else getattr(dd, "platform", None)
         dct["device_count"] = (len(jax.devices(platform)) if platform
                                else jax.device_count())
         dct["backend"] = platform or jax.default_backend()

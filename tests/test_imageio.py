@@ -156,6 +156,48 @@ class TestReorientation:
 
 
 class TestQform:
+    @staticmethod
+    def _write_qform_file(fname, arr, pixdims, qfac, quat=(0.0, 0.0, 0.0)):
+        hdr = bytearray(_HDR)
+        struct.pack_into("<i", hdr, 0, _HDR)
+        shape_f = arr.shape[::-1]
+        struct.pack_into("<8h", hdr, 40, 3, *shape_f, 1, 1, 1, 1)
+        struct.pack_into("<h", hdr, 70, 16)
+        struct.pack_into("<h", hdr, 72, 32)
+        struct.pack_into("<8f", hdr, 76, qfac, *pixdims, 1.0, 1.0, 1.0, 1.0)
+        struct.pack_into("<f", hdr, 108, 352.0)
+        struct.pack_into("<f", hdr, 112, 1.0)
+        struct.pack_into("<h", hdr, 252, 1)  # qform_code, no sform
+        struct.pack_into("<3f", hdr, 256, *quat)
+        hdr[344:348] = b"n+1\x00"
+        with gzip.open(fname, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(b"\x00" * 4)
+            f.write(np.ascontiguousarray(arr.astype(np.float32)).tobytes())
+
+    def test_qfac_negative_roundtrip_preserves_affine(self, tmp_path, rng):
+        """qform-only source with qfac=-1 (flipped k axis, e.g. FSL LAS):
+        the written seg must keep the source affine — including qfac."""
+        img = rng.standard_normal((4, 5, 6)).astype(np.float32)
+        src = str(tmp_path / "las.nii.gz")
+        self._write_qform_file(src, img, (1.0, 2.0, 3.0), qfac=-1.0)
+
+        io = NiftiIO()
+        data, props = io.read_images((src,))
+        assert props["spacing"] == pytest.approx([3.0, 2.0, 1.0])
+        # canonicalization must have flipped the k (z) axis
+        perm_f, signs = props["nifti_orientation"]
+        assert signs[2] == -1
+
+        out = str(tmp_path / "seg.nii.gz")
+        io.write_seg((data[0] > 0).astype(np.uint8), out, props)
+        src_affine = read_nifti(src)[1]["affine"]
+        seg_affine = read_nifti(out)[1]["affine"]
+        np.testing.assert_allclose(seg_affine, src_affine, atol=1e-5)
+        # and the voxel data overlays the source disk-order image
+        raw_seg = read_nifti(out)[0]
+        np.testing.assert_array_equal(raw_seg, (img > 0).astype(np.uint8))
+
     def test_qform_only_identity_rotation(self, tmp_path, rng):
         # qform with unit quaternion (no rotation) = RAS; spacing from pixdim
         arr = rng.standard_normal((3, 4, 5)).astype(np.float32)
