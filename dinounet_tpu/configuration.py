@@ -46,6 +46,19 @@ def msda_bf16_build() -> bool:
     return os.environ.get("DINOUNET_TPU_MSDA_BF16", "0") == "1"
 
 
+def vit_int8() -> bool:
+    """Experimental int8 serving mode for the FROZEN backbone's linear layers.
+
+    w8a8 dynamic quantization (per-output-channel weights, per-token
+    activations, int8xint8->int32 on the MXU's double-rate path, f32 dequant).
+    Param tree/checkpoints unchanged — quantization happens at apply time.
+    Opt-in via DINOUNET_TPU_VIT_INT8=1: the accuracy impact on REAL published
+    checkpoints cannot be validated in this environment (no egress), so this
+    must stay off until a deployment validates Dice parity on its own data.
+    Bound on random weights: see tests/test_vit_parity.py::TestInt8Mode."""
+    return os.environ.get("DINOUNET_TPU_VIT_INT8", "0") == "1"
+
+
 def use_fused_attention() -> bool:
     """Fused RoPE+SDPA Pallas kernel for the frozen backbone (TPU only).
 

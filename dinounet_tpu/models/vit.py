@@ -155,6 +155,49 @@ class PatchEmbed(nn.Module):
         return (y + bias).astype(x.dtype)
 
 
+class QuantDense(nn.Module):
+    """nn.Dense-compatible (identical param tree) w8a8 dynamic-quant linear.
+
+    Experimental serving mode for the frozen backbone
+    (configuration.vit_int8): per-output-channel symmetric int8 weights,
+    per-token symmetric int8 activations, int8xint8->int32 MXU dot (the
+    double-rate path on TPU), f32 rescale. Quantization is at apply time, so
+    checkpoints and the converter are untouched."""
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32) if self.use_bias else None
+        w_scale = jnp.maximum(jnp.max(jnp.abs(k), axis=0), 1e-12) / 127.0
+        wq = jnp.clip(jnp.round(k / w_scale[None, :]), -127, 127).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                              1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        y = y * a_scale * w_scale
+        if b is not None:
+            y = y + b
+        return y.astype(self.dtype)
+
+
+def _backbone_dense(features: int, use_bias: bool, dtype, name: str):
+    """nn.Dense, or the int8 serving variant when DINOUNET_TPU_VIT_INT8=1
+    (same param tree either way — checkpoints are portable)."""
+    from dinounet_tpu.configuration import vit_int8
+
+    if vit_int8():
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
@@ -165,7 +208,7 @@ class Attention(nn.Module):
         M, Dh = cfg.num_heads, cfg.head_dim
         cdt = jnp.dtype(cfg.dtype)
 
-        qkv = nn.Dense(3 * C, use_bias=cfg.qkv_bias, dtype=cdt, name="qkv")(x)
+        qkv = _backbone_dense(3 * C, cfg.qkv_bias, cdt, "qkv")(x)
         qkv = qkv.reshape(B, N, 3, M, Dh)
 
         from dinounet_tpu.configuration import use_fused_attention
@@ -178,7 +221,7 @@ class Attention(nn.Module):
 
             sin, cos = rope if rope is not None else (None, None)
             o = fused_rope_attention(qkv, sin, cos).reshape(B, N, C)
-            return nn.Dense(C, use_bias=cfg.proj_bias, dtype=cdt, name="proj")(o)
+            return _backbone_dense(C, cfg.proj_bias, cdt, "proj")(o)
 
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, M, Dh)
 
@@ -201,7 +244,7 @@ class Attention(nn.Module):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
         o = jnp.einsum("bmnk,bkmd->bnmd", probs, v)
         o = o.reshape(B, N, C)
-        return nn.Dense(C, use_bias=cfg.proj_bias, dtype=cdt, name="proj")(o)
+        return _backbone_dense(C, cfg.proj_bias, cdt, "proj")(o)
 
 
 class Mlp(nn.Module):
@@ -211,9 +254,9 @@ class Mlp(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         cdt = jnp.dtype(cfg.dtype)
-        h = nn.Dense(cfg.ffn_hidden, use_bias=cfg.ffn_bias, dtype=cdt, name="fc1")(x)
+        h = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "fc1")(x)
         h = nn.gelu(h, approximate=False)
-        return nn.Dense(cfg.embed_dim, use_bias=cfg.ffn_bias, dtype=cdt, name="fc2")(h)
+        return _backbone_dense(cfg.embed_dim, cfg.ffn_bias, cdt, "fc2")(h)
 
 
 class SwiGLU(nn.Module):
@@ -223,9 +266,9 @@ class SwiGLU(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         cdt = jnp.dtype(cfg.dtype)
-        x1 = nn.Dense(cfg.ffn_hidden, use_bias=cfg.ffn_bias, dtype=cdt, name="w1")(x)
-        x2 = nn.Dense(cfg.ffn_hidden, use_bias=cfg.ffn_bias, dtype=cdt, name="w2")(x)
-        return nn.Dense(cfg.embed_dim, use_bias=cfg.ffn_bias, dtype=cdt, name="w3")(
+        x1 = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "w1")(x)
+        x2 = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "w2")(x)
+        return _backbone_dense(cfg.embed_dim, cfg.ffn_bias, cdt, "w3")(
             nn.silu(x1) * x2
         )
 

@@ -589,10 +589,22 @@ class nnUNetTrainer:
     def train_step_host(self, batch) -> float:
         rng, self._rng = jax.random.split(self._rng)
         data, seg = self._batch_to_device(batch)
+        first = not getattr(self, "_train_step_ran", False)
+        if first:
+            t0 = time.time()
         params, bs, opt, loss = self._train_step(
             self.variables["params"], self.variables["batch_stats"], self.opt_state,
             data, seg, rng,
         )
+        if first:
+            # cold-compile visibility (the first step compiles the whole
+            # differentiated graph incl. the Pallas kernels; later processes
+            # load it from the persistent executable cache)
+            jax.device_get(loss)
+            self._train_step_ran = True
+            self.print_to_log_file(
+                f"first train step (compile or cache load + step): "
+                f"{time.time() - t0:.1f}s")
         self.variables = {"params": params, "batch_stats": bs}
         self.opt_state = opt
         return loss

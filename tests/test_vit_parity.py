@@ -113,3 +113,56 @@ class TestViTParity:
         bf16_out = DinoViT(cfg_bf16).apply({"params": backbone_params}, x_nhwc, (2,))[0][0]
         err = np.abs(np.asarray(fp32_out) - np.asarray(bf16_out, np.float32)).max()
         assert err < 0.15, f"bf16 deviation too large: {err}"
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+class TestInt8Mode:
+    """Experimental w8a8 serving mode (DINOUNET_TPU_VIT_INT8=1): identical
+    param tree to the bf16 path, bounded deviation on random weights. Real-
+    checkpoint Dice validation is a deployment-side step (no egress here)."""
+
+    def test_param_tree_identical_and_outputs_close(self, monkeypatch):
+        import numpy as np
+
+        from dinounet_tpu.models.vit import DinoViT, ViTConfig
+
+        cfg = ViTConfig(embed_dim=64, depth=4, num_heads=4, ffn_ratio=2,
+                        dtype="float32")
+        model = DinoViT(cfg)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
+            jnp.float32)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "0")
+        variables = model.init(jax.random.PRNGKey(0), x, (3,))
+        (ref_tokens, ref_cls), = model.apply(variables, x, (3,))
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        v8 = model.init(jax.random.PRNGKey(0), x, (3,))
+        assert jax.tree_util.tree_structure(v8) == \
+            jax.tree_util.tree_structure(variables)
+        (q_tokens, q_cls), = model.apply(variables, x, (3,))
+
+        a = np.asarray(ref_tokens, np.float32).ravel()
+        b = np.asarray(q_tokens, np.float32).ravel()
+        assert np.all(np.isfinite(b))
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.995, cos
+        rel = float(np.linalg.norm(a - b) / np.linalg.norm(a))
+        assert rel < 0.1, rel
+
+    def test_quant_dense_matches_fp_within_int8_error(self, rng):
+        from dinounet_tpu.models.vit import QuantDense
+
+        x = jnp.asarray(rng.standard_normal((5, 37, 96)), jnp.float32)
+        qd = QuantDense(48, dtype=jnp.float32)
+        variables = qd.init(jax.random.PRNGKey(0), x)
+        got = np.asarray(qd.apply(variables, x))
+        k = np.asarray(variables["params"]["kernel"])
+        b = np.asarray(variables["params"]["bias"])
+        ref = np.asarray(x) @ k + b
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, rel  # two int8 quantizations: ~1% expected
