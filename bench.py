@@ -92,6 +92,11 @@ def main():
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     batches = [8, 4, 1] if jax.default_backend() != "cpu" else [1]
+    forced = os.environ.get("DINOUNET_TPU_BENCH_BATCH")
+    if forced:
+        # skip the OOM step-down (each failed candidate costs a full compile
+        # through the dev tunnel); e.g. dinounet_7b runs at batch 1
+        batches = [int(forced)]
     value = None
     for impl in (os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto"), "jax"):
         os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
