@@ -49,7 +49,7 @@ def maybe_load_checkpoint(trainer, continue_training: bool,
     if continue_training:
         for name in ("checkpoint_final.pth", "checkpoint_latest.pth", "checkpoint_best.pth"):
             cand = os.path.join(trainer.output_folder, name)
-            if os.path.isfile(cand):
+            if os.path.exists(cand):
                 expected = cand
                 break
         if expected is None:
@@ -57,7 +57,7 @@ def maybe_load_checkpoint(trainer, continue_training: bool,
                   "Starting a new training...")
     elif validation_only:
         expected = os.path.join(trainer.output_folder, "checkpoint_final.pth")
-        if not os.path.isfile(expected):
+        if not os.path.exists(expected):
             raise RuntimeError(
                 "Cannot run validation because the training is not finished yet!"
             )

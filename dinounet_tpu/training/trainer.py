@@ -764,6 +764,10 @@ class nnUNetTrainer:
         latest = os.path.join(self.output_folder, "checkpoint_latest.pth")
         if os.path.isfile(latest):
             os.remove(latest)
+        elif os.path.isdir(latest):  # sharded checkpoint directory
+            import shutil
+
+            shutil.rmtree(latest)
         self.print_to_log_file("Training done.")
 
     # ------------------------------------------------------------ checkpoints
@@ -783,7 +787,10 @@ class nnUNetTrainer:
             "trainer_name": self.__class__.__name__,
             "inference_allowed_mirroring_axes": self.inference_allowed_mirroring_axes,
         }
-        save_checkpoint(checkpoint, filename)
+        # model-sharded runs (7B over a model axis) write per-shard orbax
+        # directories instead of gathering everything to one host
+        save_checkpoint(checkpoint, filename,
+                        sharded=self.mesh.shape["model"] > 1)
 
     def load_checkpoint(self, filename_or_checkpoint: Union[str, dict]):
         """ref :1108-1144."""
@@ -795,10 +802,16 @@ class nnUNetTrainer:
         )
         self.variables = jax.tree.map(jnp.asarray, checkpoint["network_weights"])
         if checkpoint.get("optimizer_state") is not None:
+            from dinounet_tpu.training.checkpointing import (
+                maybe_unflatten_opt_state,
+            )
+
             template = self.tx.init(self.variables["params"])
+            opt_state = maybe_unflatten_opt_state(
+                checkpoint["optimizer_state"], template)
             self.opt_state = jax.tree.map(
                 lambda t, s: jnp.asarray(s).astype(t.dtype) if hasattr(t, "dtype") else s,
-                template, checkpoint["optimizer_state"],
+                template, opt_state,
             )
         self.logger.load_checkpoint(checkpoint["logging"])
         self._best_ema = checkpoint["_best_ema"]

@@ -361,6 +361,22 @@ def test_trainer_gspmd_model_axis(tmp_path, monkeypatch):
     trainer.run_training()
     assert np.isfinite(trainer.logger.my_fantastic_logging["train_losses"][-1])
 
+    # model-sharded runs write orbax per-shard checkpoint DIRECTORIES (the 7B
+    # path: no single-host gather), and the resume chain loads them back
+    import os
+
+    final = os.path.join(trainer.output_folder, "checkpoint_final.pth")
+    assert os.path.isdir(final), "model-axis>1 should produce a sharded ckpt"
+    from dinounet_tpu.training.checkpointing import load_checkpoint
+
+    ckpt = load_checkpoint(final)
+    assert ckpt["trainer_name"] == "nnUNetTrainer"
+    assert "network_weights" in ckpt
+    trainer2 = get_trainer_from_args(601, "2d", 0, "nnUNetTrainer", pid)
+    trainer2.num_epochs = 1
+    trainer2.load_checkpoint(final)
+    assert trainer2.current_epoch == 1
+
 
 def test_trainer_3d_smoke(tmp_path, monkeypatch):
     """3-D training path: 3d_fullres plans, volumetric loader, on-device 3-D
