@@ -1,15 +1,17 @@
-"""Self-contained NIfTI-1 reader/writer (no nibabel/SimpleITK in this image).
+"""Self-contained NIfTI-1/NIfTI-2 reader/writer (no nibabel/SimpleITK in this image).
 
 Covers the capability of ref: dinounet/imageio/simpleitk_reader_writer.py:22 and
 nibabel_reader_writer.py:24,100 for .nii/.nii.gz: header parsing (dim, datatype,
-pixdim, scl slope/intercept, vox_offset, qform/sform) in either byte order,
+pixdim, scl slope/intercept, vox_offset, qform/sform) for **both NIfTI-1 (348-byte)
+and NIfTI-2 (540-byte) headers in either byte order**,
 **reorientation to the closest canonical (RAS) axis order** — the capability of
 the reference's NibabelIOWithReorient (ref nibabel_reader_writer.py:100-160),
 so mixed-orientation datasets land in one consistent (z, y, x) frame with
 correctly-assigned per-axis spacing — and round-trip writing that restores the
 original orientation and header geometry (the written segmentation overlays the
 source image voxel-for-voxel, like the reference's write path which saves with
-the original affine).
+the original affine). Segmentations written against a NIfTI-2 source keep the
+NIfTI-2 format and byte order; fresh volumes are written as little-endian NIfTI-1.
 
 Array contract (nnU-Net convention, ref base_reader_writer.py:22-106):
 (c, z, y, x) with spacing aligned to (z, y, x).
@@ -29,7 +31,49 @@ _DTYPES = {
 }
 _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
-_HDR_SIZE = 348
+_HDR1_SIZE = 348
+_HDR2_SIZE = 540
+
+# Field layout per header version: (offset, struct format). Formats use
+# lowercase struct codes; endianness char is prepended at parse time.
+_LAYOUT = {
+    1: {
+        "dim": (40, "8h"),
+        "datatype": (70, "h"),
+        "bitpix": (72, "h"),
+        "pixdim": (76, "8f"),
+        "vox_offset": (108, "f"),
+        "scl_slope": (112, "f"),
+        "scl_inter": (116, "f"),
+        "qform_code": (252, "h"),
+        "sform_code": (254, "h"),
+        "quatern": (256, "3f"),
+        "qoffset": (268, "3f"),
+        "srow_x": (280, "4f"),
+        "srow_y": (296, "4f"),
+        "srow_z": (312, "4f"),
+        "magic": (344, 4),
+        "default_vox_offset": 352,
+    },
+    2: {
+        "dim": (16, "8q"),
+        "datatype": (12, "h"),
+        "bitpix": (14, "h"),
+        "pixdim": (104, "8d"),
+        "vox_offset": (168, "q"),
+        "scl_slope": (176, "d"),
+        "scl_inter": (184, "d"),
+        "qform_code": (344, "i"),
+        "sform_code": (348, "i"),
+        "quatern": (352, "3d"),
+        "qoffset": (376, "3d"),
+        "srow_x": (400, "4d"),
+        "srow_y": (432, "4d"),
+        "srow_z": (464, "4d"),
+        "magic": (4, 8),
+        "default_vox_offset": 544,
+    },
+}
 
 
 def _open(fname: str, mode: str = "rb"):
@@ -38,30 +82,68 @@ def _open(fname: str, mode: str = "rb"):
     return open(fname, mode)
 
 
-def _header_endianness(hdr: bytes, fname: str = "<bytes>") -> str:
-    """Detect '<' (little) or '>' (big) from sizeof_hdr."""
-    if struct.unpack_from("<i", hdr, 0)[0] == _HDR_SIZE:
-        return "<"
-    if struct.unpack_from(">i", hdr, 0)[0] == _HDR_SIZE:
-        return ">"
+def _detect(hdr: bytes, fname: str = "<bytes>") -> Tuple[str, int]:
+    """Detect (endianness, nifti version) from sizeof_hdr (348 or 540)."""
+    for en in ("<", ">"):
+        size = struct.unpack_from(en + "i", hdr, 0)[0]
+        if size == _HDR1_SIZE:
+            return en, 1
+        if size == _HDR2_SIZE:
+            return en, 2
     raise RuntimeError(
-        f"{fname}: not a NIfTI-1 file (sizeof_hdr != 348 in either byte order)")
+        f"{fname}: not a NIfTI file (sizeof_hdr is neither 348 nor 540 "
+        f"in either byte order)")
 
 
-def _parse_affine(hdr: bytes, en: str) -> np.ndarray:
+def _header_endianness(hdr: bytes, fname: str = "<bytes>") -> str:
+    return _detect(hdr, fname)[0]
+
+
+def _parse_fields(hdr: bytes, fname: str = "<bytes>") -> dict:
+    """Parse the geometry/data fields shared by NIfTI-1 and NIfTI-2 into a
+    version-independent dict."""
+    en, ver = _detect(hdr, fname)
+    lay = _LAYOUT[ver]
+
+    def get(name):
+        off, fmt = lay[name]
+        vals = struct.unpack_from(en + fmt, hdr, off)
+        return vals[0] if len(vals) == 1 else vals
+
+    moff, mlen = lay["magic"]
+    magic = hdr[moff: moff + mlen]
+    want = (b"n+1", b"ni1") if ver == 1 else (b"n+2", b"ni2")
+    if magic[:3] not in want:
+        raise RuntimeError(f"{fname}: bad NIfTI-{ver} magic {magic!r}")
+    return {
+        "endianness": en,
+        "version": ver,
+        "dim": tuple(int(d) for d in get("dim")),
+        "datatype": int(get("datatype")),
+        "pixdim": tuple(float(p) for p in get("pixdim")),
+        "vox_offset": int(get("vox_offset")),
+        "scl_slope": float(get("scl_slope")),
+        "scl_inter": float(get("scl_inter")),
+        "qform_code": int(get("qform_code")),
+        "sform_code": int(get("sform_code")),
+        "quatern": tuple(float(q) for q in get("quatern")),
+        "qoffset": tuple(float(q) for q in get("qoffset")),
+        "srows": (get("srow_x"), get("srow_y"), get("srow_z")),
+    }
+
+
+def _parse_affine(fields: dict) -> np.ndarray:
     """Voxel-index (i,j,k) -> world RAS (x,y,z) 4x4 affine from sform (code>0),
-    else qform (quaternion), else the pixdim diagonal (NIfTI-1 §3 fallback)."""
-    pixdim = struct.unpack_from(en + "8f", hdr, 76)
-    qform_code = struct.unpack_from(en + "h", hdr, 252)[0]
-    sform_code = struct.unpack_from(en + "h", hdr, 254)[0]
-    if sform_code > 0:
+    else qform (quaternion), else the pixdim diagonal (NIfTI §3 fallback)."""
+    pixdim = fields["pixdim"]
+    if fields["sform_code"] > 0:
         A = np.eye(4)
-        for i, off in enumerate((280, 296, 312)):
-            A[i, :] = struct.unpack_from(en + "4f", hdr, off)
+        for i in range(3):
+            A[i, :] = fields["srows"][i]
         return A
-    if qform_code > 0:
-        b, c, d = struct.unpack_from(en + "3f", hdr, 256)
-        ox, oy, oz = struct.unpack_from(en + "3f", hdr, 268)
+    if fields["qform_code"] > 0:
+        b, c, d = fields["quatern"]
+        ox, oy, oz = fields["qoffset"]
         a2 = 1.0 - (b * b + c * c + d * d)
         a = np.sqrt(max(a2, 0.0))
         R = np.array([
@@ -133,23 +215,22 @@ def reorient_from_canonical(arr: np.ndarray, perm_f, signs) -> np.ndarray:
 
 def read_nifti(fname: str) -> Tuple[np.ndarray, dict]:
     """Returns (array with axes as stored on disk reversed to C-order (z, y, x),
-    header dict incl. raw bytes, endianness, and the parsed affine). Handles
-    both little- and big-endian files; data is returned in native byte order."""
+    header dict incl. raw bytes, endianness, version, and the parsed affine).
+    Handles NIfTI-1 and NIfTI-2 in either byte order; data is returned in
+    native byte order."""
     with _open(fname) as f:
         raw = f.read()
-    hdr = raw[:_HDR_SIZE]
-    en = _header_endianness(hdr, fname)
-    dim = struct.unpack_from(en + "8h", hdr, 40)
+    fields = _parse_fields(raw[:_HDR2_SIZE], fname)
+    en, ver = fields["endianness"], fields["version"]
+    hdr = raw[: _HDR1_SIZE if ver == 1 else _HDR2_SIZE]
+    dim = fields["dim"]
     ndim = dim[0]
     shape_f = dim[1: 1 + ndim]  # Fortran-order shape (x, y, z, [t])
-    datatype = struct.unpack_from(en + "h", hdr, 70)[0]
-    pixdim = struct.unpack_from(en + "8f", hdr, 76)
-    vox_offset = int(struct.unpack_from(en + "f", hdr, 108)[0])
-    scl_slope = struct.unpack_from(en + "f", hdr, 112)[0]
-    scl_inter = struct.unpack_from(en + "f", hdr, 116)[0]
-    magic = hdr[344:348]
-    if magic[:3] not in (b"n+1", b"ni1"):
-        raise RuntimeError(f"{fname}: bad NIfTI magic {magic!r}")
+    datatype = fields["datatype"]
+    pixdim = fields["pixdim"]
+    vox_offset = fields["vox_offset"]
+    scl_slope = fields["scl_slope"]
+    scl_inter = fields["scl_inter"]
     if datatype not in _DTYPES:
         raise RuntimeError(f"{fname}: unsupported NIfTI datatype {datatype}")
     dtype = np.dtype(_DTYPES[datatype]).newbyteorder(en)
@@ -168,22 +249,24 @@ def read_nifti(fname: str) -> Tuple[np.ndarray, dict]:
     header = {
         "raw_header": hdr,
         "endianness": en,
+        "version": ver,
         "shape_fortran": tuple(int(s) for s in shape_f),
-        "pixdim": tuple(float(p) for p in pixdim),
+        "pixdim": pixdim,
         "datatype": datatype,
-        "affine": _parse_affine(hdr, en),
+        "affine": _parse_affine(fields),
     }
     return arr, header
 
 
 def _build_header(shape_f, spacing_xyz, dtype: np.dtype,
                   template: Optional[bytes] = None) -> bytes:
-    """Minimal valid NIfTI-1 header; reuses geometry (qform/sform, byte order)
-    from `template` if given."""
-    en = _header_endianness(template) if template is not None else "<"
-    hdr = bytearray(template) if template is not None else bytearray(_HDR_SIZE)
+    """Minimal valid NIfTI header; reuses geometry (qform/sform, byte order,
+    header version) from `template` if given, else little-endian NIfTI-1."""
+    en, ver = _detect(template) if template is not None else ("<", 1)
+    lay = _LAYOUT[ver]
+    hdr = bytearray(template) if template is not None else bytearray(_HDR1_SIZE)
     if template is None:
-        struct.pack_into(en + "i", hdr, 0, _HDR_SIZE)
+        struct.pack_into(en + "i", hdr, 0, _HDR1_SIZE)
         hdr[38] = ord("r")  # dim_info irrelevant; regular
         # sform: identity scaled by spacing
         struct.pack_into(en + "h", hdr, 254, 1)  # sform_code = 1
@@ -197,30 +280,36 @@ def _build_header(shape_f, spacing_xyz, dtype: np.dtype,
         hdr[344:348] = b"n+1\x00"
     ndim = len(shape_f)
     dim = [ndim] + [int(s) for s in shape_f] + [1] * (7 - ndim)
-    struct.pack_into(en + "8h", hdr, 40, *dim)
+    struct.pack_into(en + lay["dim"][1], hdr, lay["dim"][0], *dim)
     code = _DTYPE_CODES[np.dtype(dtype)]
-    struct.pack_into(en + "h", hdr, 70, code)
-    struct.pack_into(en + "h", hdr, 72, np.dtype(dtype).itemsize * 8)
+    struct.pack_into(en + lay["datatype"][1], hdr, lay["datatype"][0], code)
+    struct.pack_into(en + lay["bitpix"][1], hdr, lay["bitpix"][0],
+                     np.dtype(dtype).itemsize * 8)
     # preserve the template's qfac (pixdim[0]): a qform-only source with
     # qfac=-1 keeps its k-axis handedness — overwriting with +1 would flip
     # the quaternion-derived affine's third column
     qfac = 1.0
     if template is not None:
-        tpl_qfac = struct.unpack_from(en + "f", template, 76)[0]
+        tpl_qfac = struct.unpack_from(
+            en + lay["pixdim"][1][-1], template, lay["pixdim"][0])[0]
         if tpl_qfac < 0:
             qfac = -1.0
     pixdim = [qfac] + [float(s) for s in spacing_xyz] + [1.0] * (7 - len(spacing_xyz))
-    struct.pack_into(en + "8f", hdr, 76, *pixdim[:8])
-    struct.pack_into(en + "f", hdr, 108, 352.0)  # vox_offset
-    struct.pack_into(en + "f", hdr, 112, 1.0)  # scl_slope
-    struct.pack_into(en + "f", hdr, 116, 0.0)  # scl_inter
+    struct.pack_into(en + lay["pixdim"][1], hdr, lay["pixdim"][0], *pixdim[:8])
+    off_fmt = lay["vox_offset"][1]
+    off_val = lay["default_vox_offset"]
+    struct.pack_into(en + off_fmt, hdr, lay["vox_offset"][0],
+                     float(off_val) if off_fmt == "f" else off_val)
+    struct.pack_into(en + lay["scl_slope"][1], hdr, lay["scl_slope"][0], 1.0)
+    struct.pack_into(en + lay["scl_inter"][1], hdr, lay["scl_inter"][0], 0.0)
     return bytes(hdr)
 
 
 def write_nifti(fname: str, arr: np.ndarray, spacing_xyz,
                 template_header: Optional[bytes] = None):
     """arr is C-ordered (…, z, y, x); stored Fortran-ordered (x fastest).
-    With a template header the data is written in the template's byte order."""
+    With a template header the data is written in the template's byte order
+    and header version (NIfTI-1 or NIfTI-2)."""
     shape_f = arr.shape[::-1]
     hdr = _build_header(shape_f, spacing_xyz, arr.dtype, template_header)
     en = _header_endianness(hdr)
@@ -305,8 +394,8 @@ class NiftiIO(BaseReaderWriter):
         perm_f, signs = properties.get("nifti_orientation", ((0, 1, 2), (1, 1, 1)))
         tpl_ndim = None
         if template is not None:
-            en = _header_endianness(template)
-            tpl_ndim = struct.unpack_from(en + "8h", template, 40)[0]
+            tpl_fields = _parse_fields(template)
+            tpl_ndim = tpl_fields["dim"][0]
         if tpl_ndim == 2:
             # 2d sources were read as (1, x, y); orientation n/a
             arr = seg[0]
@@ -316,7 +405,7 @@ class NiftiIO(BaseReaderWriter):
             # (kept verbatim) still describes the written array
             arr = reorient_from_canonical(arr, perm_f, signs)
             if template is not None:
-                pixdim = struct.unpack_from(en + "8f", template, 76)
+                pixdim = tpl_fields["pixdim"]
                 spacing_xyz = [abs(pixdim[1]), abs(pixdim[2]), abs(pixdim[3])]
         write_nifti(
             output_fname, np.ascontiguousarray(

@@ -155,6 +155,108 @@ class TestReorientation:
         assert props["spacing"] == pytest.approx([2.0, 1.5, 1.0])
 
 
+_HDR2 = 540
+
+
+def _write_raw_nifti2(fname, arr_zyx, sform_rows, en="<", dtype=np.float32):
+    """Write a NIfTI-2 (540-byte header) file with an explicit sform."""
+    arr = np.ascontiguousarray(arr_zyx.astype(dtype))
+    shape_f = arr.shape[::-1]
+    hdr = bytearray(_HDR2)
+    struct.pack_into(en + "i", hdr, 0, _HDR2)
+    hdr[4:12] = b"n+2\x00\r\n\x1a\n"
+    code = {np.dtype(np.float32): 16, np.dtype(np.uint8): 2,
+            np.dtype(np.int16): 4}[np.dtype(dtype)]
+    struct.pack_into(en + "h", hdr, 12, code)
+    struct.pack_into(en + "h", hdr, 14, np.dtype(dtype).itemsize * 8)
+    dim = [3] + [int(s) for s in shape_f] + [1] * (7 - 3)
+    struct.pack_into(en + "8q", hdr, 16, *dim)
+    spac = [float(np.linalg.norm([r[j] for r in sform_rows])) for j in range(3)]
+    struct.pack_into(en + "8d", hdr, 104, 1.0, *spac, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(en + "q", hdr, 168, 544)  # vox_offset
+    struct.pack_into(en + "d", hdr, 176, 1.0)  # scl_slope
+    struct.pack_into(en + "d", hdr, 184, 0.0)  # scl_inter
+    struct.pack_into(en + "i", hdr, 348, 1)  # sform_code
+    for i, (off) in enumerate((400, 432, 464)):
+        struct.pack_into(en + "4d", hdr, off, *sform_rows[i])
+    data = arr
+    if en == ">":
+        data = data.astype(data.dtype.newbyteorder(">"))
+    with gzip.open(fname, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)
+        f.write(data.tobytes())
+
+
+class TestNifti2:
+    """NIfTI-2 (540-byte header) parity with NIfTI-1 — capability target:
+    the reference's nibabel reader transparently loads NIfTI-2
+    (ref dinounet/imageio/nibabel_reader_writer.py:24-98)."""
+
+    def test_reads_same_as_nifti1_twin(self, tmp_path, rng):
+        arr = rng.standard_normal((4, 5, 6)).astype(np.float32)
+        f1 = str(tmp_path / "v1.nii.gz")
+        f2 = str(tmp_path / "v2.nii.gz")
+        _write_raw_nifti(f1, arr, _ras_rows(1.0, 2.0, 3.0))
+        _write_raw_nifti2(f2, arr, _ras_rows(1.0, 2.0, 3.0))
+        a1, p1 = NiftiIO().read_images((f1,))
+        a2, p2 = NiftiIO().read_images((f2,))
+        np.testing.assert_array_equal(a1, a2)
+        assert p2["spacing"] == pytest.approx(p1["spacing"])
+
+    @pytest.mark.parametrize("en", ["<", ">"])
+    def test_both_byte_orders(self, tmp_path, rng, en):
+        arr = rng.standard_normal((3, 4, 5)).astype(np.float32)
+        f = str(tmp_path / "v2.nii.gz")
+        _write_raw_nifti2(f, arr, _ras_rows(1.0, 1.5, 2.0), en=en)
+        got, hdr = read_nifti(f)
+        assert hdr["version"] == 2
+        assert hdr["endianness"] == en
+        np.testing.assert_allclose(got, arr, rtol=1e-6)
+
+    def test_seg_roundtrip_stays_nifti2(self, tmp_path, rng):
+        seg = rng.integers(0, 3, (3, 4, 5)).astype(np.uint8)
+        src = str(tmp_path / "src.nii.gz")
+        _write_raw_nifti2(src, seg, _ras_rows(1.0, 1.0, 1.0), en=">",
+                          dtype=np.uint8)
+        io = NiftiIO()
+        arr, props = io.read_seg(src)
+        np.testing.assert_array_equal(arr[0], seg)
+        out = str(tmp_path / "out.nii.gz")
+        io.write_seg(arr[0].astype(np.uint8), out, props)
+        back, hdr = read_nifti(out)
+        # written in the template's format: NIfTI-2, big-endian
+        assert hdr["version"] == 2
+        assert hdr["endianness"] == ">"
+        np.testing.assert_array_equal(back, seg)
+
+    def test_non_ras_nifti2_reorients(self, tmp_path, rng):
+        canon = rng.standard_normal((4, 5, 6)).astype(np.float32)
+        perm_f, signs = (1, 0, 2), (-1, 1, 1)
+        disk = reorient_from_canonical(canon, perm_f, signs)
+        world_of = [0, 0, 0]
+        for w, j in enumerate(perm_f):
+            world_of[j] = w
+        spacing_world = (1.0, 2.0, 3.0)
+        rows = [[0.0, 0.0, 0.0, 0.0] for _ in range(3)]
+        for j in range(3):
+            w = world_of[j]
+            rows[w][j] = signs[j] * spacing_world[w]
+        f = str(tmp_path / "alt.nii.gz")
+        _write_raw_nifti2(f, disk, rows)
+        got, props = NiftiIO().read_images((f,))
+        np.testing.assert_array_equal(got[0], canon)
+        assert props["spacing"] == pytest.approx([3.0, 2.0, 1.0])
+        # and write-back restores disk order with the source affine
+        out = str(tmp_path / "seg.nii.gz")
+        NiftiIO().write_seg((got[0] > 0).astype(np.uint8), out, props)
+        raw_seg, hdr_seg = read_nifti(out)
+        assert hdr_seg["version"] == 2
+        np.testing.assert_array_equal(raw_seg, (disk > 0).astype(np.uint8))
+        np.testing.assert_allclose(
+            hdr_seg["affine"], read_nifti(f)[1]["affine"], atol=1e-6)
+
+
 class TestQform:
     @staticmethod
     def _write_qform_file(fname, arr, pixdims, qfac, quat=(0.0, 0.0, 0.0)):
