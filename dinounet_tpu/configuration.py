@@ -73,6 +73,27 @@ def use_fused_attention() -> bool:
     return use_pallas_msda()
 
 
+def fused_dense_impl() -> str:
+    """Implementation of the backbone's fused dense+residual+LN-stats op.
+
+    DINOUNET_TPU_DENSE_IMPL in {"auto", "pallas", "interpret", "jax"}:
+    "auto" uses the Pallas kernel (ops/dense_stats_pallas.py) on TPU and the
+    plain flax path elsewhere; "interpret" runs the kernel in interpreter mode
+    (CPU model-path tests); "jax" forces the unfused flax path. int8 serving
+    mode always uses the flax path (QuantDense replaces the matmuls).
+    """
+    impl = os.environ.get("DINOUNET_TPU_DENSE_IMPL", "auto")
+    if vit_int8():
+        return "jax"
+    if impl in ("pallas", "interpret", "jax"):
+        return impl
+    return "pallas" if use_pallas_msda() else "jax"
+
+
+def use_fused_dense() -> bool:
+    return fused_dense_impl() != "jax"
+
+
 def enable_persistent_compilation_cache() -> None:
     """Turn on JAX's on-disk executable cache (idempotent).
 

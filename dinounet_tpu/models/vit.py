@@ -105,23 +105,51 @@ def rope_apply(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarra
 
 
 class LayerNormFp32(nn.Module):
-    """LayerNorm computed in fp32 regardless of input dtype (autocast semantics)."""
+    """LayerNorm computed in fp32 regardless of input dtype (autocast semantics).
+
+    `stats=(mean, var)` (each (..., N) fp32) skips the statistics pass — the
+    stats-threaded fused-dense path (ops/dense_stats_pallas.py) computes them
+    in the producing kernel's epilogue; only the apply remains here, where XLA
+    fuses it into the next matmul's prologue."""
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         xf = x.astype(jnp.float32)
-        # one-pass statistics: E[x] and E[x^2] fuse into a single read of x
-        # (a serial mean -> var dependency costs a second full pass; profiled
-        # as the largest single cost bucket of the tile forward)
-        mean = xf.mean(-1, keepdims=True)
-        mean2 = (xf * xf).mean(-1, keepdims=True)
-        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        if stats is None:
+            # one-pass statistics: E[x] and E[x^2] fuse into a single read of
+            # x (a serial mean -> var dependency costs a second full pass;
+            # profiled as the largest single cost bucket of the tile forward)
+            mean = xf.mean(-1, keepdims=True)
+            mean2 = (xf * xf).mean(-1, keepdims=True)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+        else:
+            mean, var = stats[0][..., None], stats[1][..., None]
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
+
+
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-identical param tree (kernel/bias) and returns the
+    raw params — for layers whose matmul runs inside a Pallas kernel. Naming
+    this module e.g. "proj" yields exactly nn.Dense(name="proj")'s checkpoint
+    layout, so the fused and unfused paths share checkpoints."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+        else:
+            b = jnp.zeros((self.features,), jnp.float32)
+        return k, b
 
 
 class PatchEmbed(nn.Module):
@@ -199,10 +227,16 @@ def _backbone_dense(features: int, use_bias: bool, dtype, name: str):
 
 
 class Attention(nn.Module):
+    """`residual`/`ls_gamma` switch on the stats-threaded fused path: the
+    output projection runs as the fused Pallas dense+LayerScale-residual op
+    and the call returns (x + gamma*proj(o), mean, var) with the next
+    LayerNorm's statistics (see ops/dense_stats_pallas.py)."""
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]):
+    def __call__(self, x: jnp.ndarray, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+                 residual: Optional[jnp.ndarray] = None,
+                 ls_gamma: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         B, N, C = x.shape
         M, Dh = cfg.num_heads, cfg.head_dim
@@ -221,42 +255,67 @@ class Attention(nn.Module):
 
             sin, cos = rope if rope is not None else (None, None)
             o = fused_rope_attention(qkv, sin, cos).reshape(B, N, C)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, M, Dh)
+
+            if rope is not None:
+                # sin/cos are [N, Dh] with identity rows for the prefix
+                # tokens; rope in fp32 (ref attention.py:66-85 uses the rope
+                # dtype, fp32 for the published checkpoints), applied over the
+                # whole sequence in (B, N, M, Dh) layout — no slicing, concat,
+                # or transposes
+                sin, cos = rope
+                sin_b = sin[:, None, :]  # (N, 1, Dh)
+                cos_b = cos[:, None, :]
+                q = rope_apply(q.astype(jnp.float32), sin_b, cos_b).astype(q.dtype)
+                k = rope_apply(k.astype(jnp.float32), sin_b, cos_b).astype(k.dtype)
+
+            # SDPA with bf16 score/prob matrices + fp32 softmax: the N^2
+            # matrices are HBM-bandwidth-bound at this sequence length, and
+            # keeping them in bf16 (as torch autocast does, ref
+            # attention.py:106-118) is ~25% faster end-to-end than
+            # jax.nn.dot_product_attention's fp32 path.
+            scores = jnp.einsum("bnmd,bkmd->bmnk", q, k) * (Dh ** -0.5)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+            o = jnp.einsum("bmnk,bkmd->bnmd", probs, v)
+            o = o.reshape(B, N, C)
+
+        if residual is None:
             return _backbone_dense(C, cfg.proj_bias, cdt, "proj")(o)
 
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, M, Dh)
+        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
 
-        if rope is not None:
-            # sin/cos are [N, Dh] with identity rows for the prefix tokens;
-            # rope in fp32 (ref attention.py:66-85 uses the rope dtype, fp32
-            # for the published checkpoints), applied over the whole sequence
-            # in (B, N, M, Dh) layout — no slicing, concat, or transposes
-            sin, cos = rope
-            sin_b = sin[:, None, :]  # (N, 1, Dh)
-            cos_b = cos[:, None, :]
-            q = rope_apply(q.astype(jnp.float32), sin_b, cos_b).astype(q.dtype)
-            k = rope_apply(k.astype(jnp.float32), sin_b, cos_b).astype(k.dtype)
-
-        # SDPA with bf16 score/prob matrices + fp32 softmax: the N^2 matrices
-        # are HBM-bandwidth-bound at this sequence length, and keeping them in
-        # bf16 (as torch autocast does, ref attention.py:106-118) is ~25%
-        # faster end-to-end than jax.nn.dot_product_attention's fp32 path.
-        scores = jnp.einsum("bnmd,bkmd->bmnk", q, k) * (Dh ** -0.5)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-        o = jnp.einsum("bmnk,bkmd->bnmd", probs, v)
-        o = o.reshape(B, N, C)
-        return _backbone_dense(C, cfg.proj_bias, cdt, "proj")(o)
+        k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
+        return dense_residual_stats(
+            o, k_p, b_p, residual, ls_gamma,
+            apply_gelu=False, interpret=fused_dense_impl() == "interpret")
 
 
 class Mlp(nn.Module):
+    """`residual`/`ls_gamma` switch on the stats-threaded fused path: GELU +
+    fc2 + LayerScale residual + next-LN stats run as one Pallas kernel and the
+    call returns (x + gamma*fc2(gelu(h)), mean, var)."""
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual: Optional[jnp.ndarray] = None,
+                 ls_gamma: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         cdt = jnp.dtype(cfg.dtype)
         h = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "fc1")(x)
-        h = nn.gelu(h, approximate=False)
-        return _backbone_dense(cfg.embed_dim, cfg.ffn_bias, cdt, "fc2")(h)
+        if residual is None:
+            h = nn.gelu(h, approximate=False)
+            return _backbone_dense(cfg.embed_dim, cfg.ffn_bias, cdt, "fc2")(h)
+
+        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
+        k_p, b_p = _DenseParams(cfg.embed_dim, cfg.ffn_bias, name="fc2")(
+            cfg.ffn_hidden)
+        return dense_residual_stats(
+            h, k_p, b_p, residual, ls_gamma,
+            apply_gelu=True, interpret=fused_dense_impl() == "interpret")
 
 
 class SwiGLU(nn.Module):
@@ -282,9 +341,25 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, rope):
+    def __call__(self, x, rope, stats=None):
         cfg = self.cfg
         ls_init = nn.initializers.constant(cfg.layerscale_init)
+        if stats is not None:
+            # stats-threaded fused-dense path: each projection kernel emits
+            # the next LayerNorm's statistics with its residual output, so no
+            # standalone stats pass (or stats-reduce matmul epilogue) remains
+            y = LayerNormFp32(cfg.norm_eps, name="norm1")(x, stats=stats)
+            gamma1 = self.param("ls1_gamma", ls_init, (cfg.embed_dim,),
+                                jnp.float32)
+            x2, mu2, var2 = Attention(cfg, name="attn")(
+                y, rope, residual=x, ls_gamma=gamma1)
+            y2 = LayerNormFp32(cfg.norm_eps, name="norm2")(
+                x2, stats=(mu2, var2))
+            gamma2 = self.param("ls2_gamma", ls_init, (cfg.embed_dim,),
+                                jnp.float32)
+            x3, mu3, var3 = Mlp(cfg, name="mlp")(
+                y2, residual=x2, ls_gamma=gamma2)
+            return x3, (mu3, var3)
         y = LayerNormFp32(cfg.norm_eps, name="norm1")(x)
         y = Attention(cfg, name="attn")(y, rope)
         gamma1 = self.param("ls1_gamma", ls_init, (cfg.embed_dim,), jnp.float32)
@@ -344,12 +419,29 @@ class DinoViT(nn.Module):
         cos = jnp.concatenate([jnp.ones((np_, cos.shape[1]), cos.dtype), cos])
         final_norm = LayerNormFp32(cfg.norm_eps, name="norm")
 
+        from dinounet_tpu.configuration import use_fused_dense
+
+        # stats-threaded fused-dense path (TPU): one entry stats pass, then
+        # every block's projection kernels carry the next LN's statistics —
+        # SwiGLU (7B) keeps the plain path (its gated FFN has no single
+        # dense+residual tail)
+        fused = use_fused_dense() and cfg.ffn_layer == "mlp"
+        stats = None
+        if fused:
+            from dinounet_tpu.ops.dense_stats_pallas import row_stats
+
+            stats = row_stats(tokens)
+
         take = set(int(i) for i in take_indices)
         outputs = []
         for i in range(cfg.depth):
-            tokens = Block(cfg, name=f"block{i}")(tokens, (sin, cos))
+            if fused:
+                tokens, stats = Block(cfg, name=f"block{i}")(
+                    tokens, (sin, cos), stats=stats)
+            else:
+                tokens = Block(cfg, name=f"block{i}")(tokens, (sin, cos))
             if i in take:
-                normed = final_norm(tokens)
+                normed = final_norm(tokens, stats=stats)
                 outputs.append(
                     (normed[:, cfg.n_prefix_tokens:], normed[:, 0])
                 )

@@ -1,0 +1,203 @@
+"""Fused dense + LayerScale residual + LayerNorm row-stats — Pallas TPU kernel.
+
+Why this exists: in the frozen DINOv3 backbone the fc2/proj projections are
+matmuls whose consumers are a LayerScale residual add and the *next*
+LayerNorm's statistics. XLA fuses all of that into one `convert_reduce_fusion`
+per matmul — but the fused reduce epilogue routes the row statistics through
+scratch (S(1)) memory and throttles the matmul: the round-2 trace shows fc2 at
+0.545 ms/block vs 0.214 ms for the same-FLOPs fc1 (87-95 % MFU), i.e. the
+epilogue costs ~2.5x the matmul itself. Defusing the stats is also a measured
+loss (BASELINE.md: 131.6 -> 129.1 p/s) because then the activation is read
+twice. This kernel computes, in one VMEM-resident pass per row block:
+
+    y    = act(h) @ W + b          (MXU, f32 accumulation, bf16 rounding)
+    out  = res + LayerScale * y    (the block's residual stream)
+    mu   = mean(out)               (over the feature dim, fp32 — the *next*
+    var  = E[out^2] - mu^2          LayerNorm's statistics)
+
+so HBM sees h once and out once, and the statistics never leave registers
+until the tiny (rows, 1) stores. The LayerNorm *apply* stays in XLA, where it
+fuses into the next matmul's prologue (models/vit.py::LayerNormFp32 accepts
+precomputed stats).
+
+Numerics are kept identical to the unfused path (and to the reference's
+torch.autocast(bf16) evaluation, ref dinov3/layers/block.py:83-125 +
+mlp/attention projections): the matmul accumulates f32 and rounds to the
+compute dtype, bias/LayerScale/residual adds happen in the compute dtype, and
+the statistics are taken over the fp32 cast of the *rounded* residual output —
+exactly what LayerNormFp32 would compute from the stored tensor.
+
+The backbone is frozen on every DinoUNet path, but jax.grad linearizes the
+whole graph before pruning, so the op carries a custom VJP that differentiates
+the pure-jnp reference formulation (exact; dead-code-eliminated on frozen
+paths) — the same pattern as ops/attention_pallas.py.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def _gelu_exact(hf):
+    """erf-based GELU on an fp32 tensor (matches nn.gelu(approximate=False))."""
+    return hf * 0.5 * (1.0 + jax.lax.erf(hf * _INV_SQRT2))
+
+
+def _erf_as7126(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7): Mosaic has no
+    erf primitive, but this needs only exp/divide, both of which lower. The
+    error is ~5 bf16-ulps below the output rounding, so the kernel's GELU is
+    bit-comparable to nn.gelu(approximate=False)."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_kernel(hf):
+    """In-kernel GELU (fp32): exact-form GELU on the A&S erf."""
+    return hf * 0.5 * (1.0 + _erf_as7126(hf * _INV_SQRT2))
+
+
+def _kernel(apply_gelu, h_ref, w_ref, b_ref, res_ref, g_ref,
+            o_ref, mu_ref, var_ref):
+    """One program = one (batch, row-block). h: (1, R, K); w: (K, D);
+    b/g: (1, D); res/o: (1, R, D); mu/var: (1, R, 1)."""
+    h = h_ref[0]
+    if apply_gelu:
+        h = _gelu_kernel(h.astype(jnp.float32)).astype(h.dtype)
+    acc = jax.lax.dot_general(
+        h, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = acc.astype(o_ref.dtype) + b_ref[...].astype(o_ref.dtype)
+    out = res_ref[0] + y * g_ref[...].astype(o_ref.dtype)
+    o_ref[0] = out
+    # read the *stored* value back so the statistics see the bf16-rounded
+    # tensor (compilers may elide intermediate bf16 rounding in the live
+    # expression, which would make stats diverge from what LayerNormFp32
+    # would compute from the saved activation)
+    of = o_ref[0].astype(jnp.float32)
+    mu = jnp.mean(of, axis=-1, keepdims=True)
+    m2 = jnp.mean(of * of, axis=-1, keepdims=True)
+    mu_ref[0] = mu
+    var_ref[0] = jnp.maximum(m2 - mu * mu, 0.0)
+
+
+def _pick_row_block(n: int, cap: int = 384) -> int:
+    """Row-block size: a multiple of 8 (Mosaic's second-minor block
+    constraint), sized so ceil(n/blk) blocks cover n with minimal padding
+    (1029 tokens -> 3 blocks of 344; the ragged tail rows are masked by
+    Pallas on store, and the stats are per-row so padding never leaks)."""
+    n_blocks = -(-n // cap)
+    per_block = -(-n // n_blocks)
+    return -(-per_block // 8) * 8
+
+
+def _reference(h, w, b, res, gamma, apply_gelu):
+    """Pure-jnp formulation with the same rounding points — numerical source
+    for the custom VJP and the CPU/interpret cross-check."""
+    if apply_gelu:
+        h = _gelu_exact(h.astype(jnp.float32)).astype(h.dtype)
+    acc = jax.lax.dot_general(
+        h, w.astype(h.dtype), (((h.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = acc.astype(h.dtype) + b.astype(h.dtype)
+    out = res + y * gamma.astype(h.dtype)
+    of = out.astype(jnp.float32)
+    mu = jnp.mean(of, axis=-1)
+    var = jnp.maximum(jnp.mean(of * of, axis=-1) - mu * mu, 0.0)
+    return out, mu, var
+
+
+def dense_residual_stats(h, w, b, res, gamma, apply_gelu: bool = False,
+                         interpret: bool = False):
+    """out = res + gamma * (act(h) @ w + b), plus next-LN row statistics.
+
+    h: (B, N, K) compute-dtype activations (post-GELU, or pre-GELU with
+    apply_gelu=True); w: (K, D) f32 params; b: (D,) f32 (pass zeros for
+    bias-free layers); res: (B, N, D); gamma: (D,) f32 LayerScale.
+    Returns (out (B, N, D) in h.dtype, mean (B, N) f32, var (B, N) f32).
+    """
+    return _dense_residual_stats(h, w, b, res, gamma, apply_gelu, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _dense_residual_stats(h, w, b, res, gamma, apply_gelu, interpret):
+    return _forward(h, w, b, res, gamma, apply_gelu, interpret)
+
+
+def _vjp_fwd(h, w, b, res, gamma, apply_gelu, interpret):
+    out = _forward(h, w, b, res, gamma, apply_gelu, interpret)
+    return out, (h, w, b, res, gamma)
+
+
+def _vjp_bwd(apply_gelu, interpret, saved, cts):
+    h, w, b, res, gamma = saved
+    _, pullback = jax.vjp(
+        lambda *a: _reference(*a, apply_gelu), h, w, b, res, gamma)
+    return pullback(cts)
+
+
+_dense_residual_stats.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _forward(h, w, b, res, gamma, apply_gelu, interpret):
+    B, N, K = h.shape
+    D = w.shape[1]
+    blk = _pick_row_block(N)
+    kern = functools.partial(_kernel, apply_gelu)
+    wc = w.astype(h.dtype)
+    out, mu, var = pl.pallas_call(
+        kern,
+        grid=(B, -(-N // blk)),
+        in_specs=[
+            pl.BlockSpec((1, blk, K), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), h.dtype),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K * D,
+            bytes_accessed=h.dtype.itemsize * B * N * (K + 2 * D),
+            transcendentals=B * N * K if apply_gelu else 0,
+        ),
+        interpret=interpret,
+    )(h, wc, b.reshape(1, D), res, gamma.reshape(1, D))
+    return out, mu[..., 0], var[..., 0]
+
+
+def row_stats(x):
+    """LayerNormFp32-compatible (mean, var) over the last dim of x, in fp32 —
+    the entry statistics for the stats-threaded block chain (XLA pass; one
+    small read of the token tensor per forward)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1) - mu * mu, 0.0)
+    return mu, var

@@ -1,0 +1,141 @@
+"""Fused dense + LayerScale residual + LN-stats kernel (ops/dense_stats_pallas).
+
+Runs the Pallas kernel in interpreter mode on CPU against the pure-jnp
+reference formulation, and the stats-threaded DinoViT path against the plain
+flax path (capability target: identical numerics to the unfused backbone,
+ref dinov3/layers/block.py:83-125)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _rand(rng, shape, dtype=jnp.bfloat16, scale=1.0):
+    return jnp.asarray(rng.normal(size=shape) * scale, dtype)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestKernel:
+    @pytest.mark.parametrize("apply_gelu", [False, True])
+    @pytest.mark.parametrize("shape", [(2, 21, 64, 48),   # row block > N
+                                       (1, 48, 128, 64),  # divisible rows
+                                       (2, 1029, 96, 64)])  # the tile N, ragged
+    def test_matches_reference(self, rng, apply_gelu, shape):
+        from dinounet_tpu.ops.dense_stats_pallas import (
+            _reference, dense_residual_stats)
+
+        B, N, K, D = shape
+        h = _rand(rng, (B, N, K))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        res = _rand(rng, (B, N, D))
+        g = _rand(rng, (D,), jnp.float32, 0.01)
+        out, mu, var = dense_residual_stats(h, w, b, res, g,
+                                            apply_gelu=apply_gelu,
+                                            interpret=True)
+        ro, rmu, rvar = _reference(h, w, b, res, g, apply_gelu)
+        # bf16 outputs must agree exactly (same rounding points)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ro, np.float32))
+        # stats may see pre-rounding values (compilers elide intermediate
+        # bf16 rounds) — sub-ulp of the bf16 activations they describe
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(rmu), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(rvar), atol=4e-3)
+
+    def test_stats_describe_output(self, rng):
+        """mean/var must be usable as LayerNorm stats of the returned tensor."""
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
+        h = _rand(rng, (2, 24, 32))
+        w = _rand(rng, (32, 48), jnp.float32, 0.1)
+        b = jnp.zeros((48,), jnp.float32)
+        res = _rand(rng, (2, 24, 48))
+        g = _rand(rng, (48,), jnp.float32, 0.01)
+        out, mu, var = dense_residual_stats(h, w, b, res, g, interpret=True)
+        of = np.asarray(out, np.float32)
+        np.testing.assert_allclose(np.asarray(mu), of.mean(-1), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(var), of.var(-1), atol=4e-3)
+
+    def test_erf_approximation(self):
+        """The in-kernel A&S 7.1.26 erf tracks lax.erf to ~1.5e-7."""
+        from dinounet_tpu.ops.dense_stats_pallas import _erf_as7126
+
+        x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+        got = np.asarray(_erf_as7126(x))
+        want = np.asarray(jax.lax.erf(x))
+        assert np.max(np.abs(got - want)) < 5e-7
+
+    def test_custom_vjp_matches_reference(self, rng):
+        from dinounet_tpu.ops.dense_stats_pallas import (
+            _reference, dense_residual_stats)
+
+        h = _rand(rng, (1, 16, 32))
+        w = _rand(rng, (32, 24), jnp.float32, 0.1)
+        b = _rand(rng, (24,), jnp.float32, 0.1)
+        res = _rand(rng, (1, 16, 24))
+        g = _rand(rng, (24,), jnp.float32, 0.01)
+
+        def loss_kernel(h_, w_):
+            o, m, v = dense_residual_stats(h_, w_, b, res, g,
+                                           apply_gelu=True, interpret=True)
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(m) + jnp.sum(v))
+
+        def loss_ref(h_, w_):
+            o, m, v = _reference(h_, w_, b, res, g, True)
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(m) + jnp.sum(v))
+
+        gh, gw = jax.grad(loss_kernel, argnums=(0, 1))(h, w)
+        rh, rw = jax.grad(loss_ref, argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(np.asarray(gh, np.float32),
+                                   np.asarray(rh, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=0.05, atol=0.05)
+
+
+class TestModelPath:
+    def test_fused_vit_matches_unfused(self, rng, monkeypatch):
+        """DinoViT with the stats-threaded fused path (interpret mode) must
+        match the plain flax path to bf16 ulp, with an identical param tree —
+        the two paths share checkpoints."""
+        from dinounet_tpu.models.vit import DinoViT, ViTConfig
+
+        cfg = ViTConfig(embed_dim=64, depth=3, num_heads=2, ffn_ratio=2,
+                        patch_size=16)
+        model = DinoViT(cfg)
+        x = _rand(rng, (2, 64, 64, 3), jnp.float32)
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "jax")
+        v1 = model.init(jax.random.PRNGKey(0), x, (0, 1, 2))
+        ref = model.apply(v1, x, (0, 1, 2))
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        v2 = model.init(jax.random.PRNGKey(0), x, (0, 1, 2))
+        import jax.tree_util as jtu
+        p1 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v1)}
+        p2 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v2)}
+        assert p1 == p2
+
+        got = model.apply(v1, x, (0, 1, 2))
+        for (pr, cr), (pg, cg) in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(pg, np.float32),
+                                       np.asarray(pr, np.float32), atol=0.02)
+            np.testing.assert_allclose(np.asarray(cg, np.float32),
+                                       np.asarray(cr, np.float32), atol=0.02)
+
+    def test_int8_mode_forces_unfused(self, monkeypatch):
+        from dinounet_tpu import configuration
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "pallas")
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        assert configuration.fused_dense_impl() == "jax"
+        assert not configuration.use_fused_dense()
