@@ -122,7 +122,8 @@ class MSDeformAttn(nn.Module):
 
     @nn.compact
     def __call__(self, query, reference_points, value_tokens,
-                 value_spatial_shapes: Sequence[Tuple[int, int]]):
+                 value_spatial_shapes: Sequence[Tuple[int, int]],
+                 residual=None):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         B, Lq, _ = query.shape
         d_value = int(self.d_model * self.ratio)
@@ -131,7 +132,7 @@ class MSDeformAttn(nn.Module):
         if use_pallas_msda():
             return self._premapped(query, reference_points, value_tokens,
                                    value_spatial_shapes, M, L, P, B, Lq,
-                                   d_value, D)
+                                   d_value, D, residual)
 
         value = nn.Dense(self.d_value_features(), dtype=self.dtype,
                          name="value_proj")(value_tokens)
@@ -161,13 +162,27 @@ class MSDeformAttn(nn.Module):
 
         out = ms_deform_attn_core(value, tuple(value_spatial_shapes), loc, attn)
         out = out.astype(self.dtype)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+        if residual is None:
+            return nn.Dense(self.d_model, dtype=self.dtype,
+                            name="output_proj")(out)
+        # stats-threaded fused path (row-major variant for the gather core):
+        # output proj + residual + next-LN stats in one pass — returns
+        # (residual + proj(out), mean, var); see ops/dense_stats_pallas.py
+        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.models.vit import _DenseParams
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
+        k_p, b_p = _DenseParams(self.d_model, name="output_proj")(d_value)
+        return dense_residual_stats(
+            out, k_p, b_p, residual, jnp.ones((self.d_model,), jnp.float32),
+            apply_gelu=False, interpret=fused_dense_impl() == "interpret")
 
     def d_value_features(self) -> int:
         return int(self.d_model * self.ratio)
 
     def _premapped(self, query, reference_points, value_tokens,
-                   value_spatial_shapes, M, L, P, B, Lq, d_value, D):
+                   value_spatial_shapes, M, L, P, B, Lq, d_value, D,
+                   residual=None):
         """TPU fast path: projections emit the kernel-native lane-major
         layouts; reference-point/normalizer folding happens in pixel space.
 
@@ -205,9 +220,23 @@ class MSDeformAttn(nn.Module):
 
         out_t = ms_deform_attn_pallas_premapped(
             v_t, tuple(value_spatial_shapes), xs, ys, attn_t)
-        return _ChannelMajorOutputProj(
-            self.d_model, dtype=self.dtype, name="output_proj",
-        )(out_t.astype(self.dtype))
+        if residual is None:
+            return _ChannelMajorOutputProj(
+                self.d_model, dtype=self.dtype, name="output_proj",
+            )(out_t.astype(self.dtype))
+        # stats-threaded fused path: the kernel's channel-major (B, M, D, Lq)
+        # output feeds the projection + residual + next-LN stats directly
+        # (ops/dense_stats_pallas.py::dense_cm_residual_stats) — the residual
+        # token stream is read/written exactly once
+        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.models.vit import _DenseParams
+        from dinounet_tpu.ops.dense_stats_pallas import dense_cm_residual_stats
+
+        k_p, b_p = _DenseParams(self.d_model, name="output_proj")(M * D)
+        return dense_cm_residual_stats(
+            out_t.astype(self.dtype).reshape(B, M * D, Lq), k_p, b_p, residual,
+            jnp.ones((self.d_model,), jnp.float32),
+            interpret=fused_dense_impl() == "interpret")
 
 
 class DWConvMS(nn.Module):
@@ -241,11 +270,22 @@ class ConvFFN(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, H: int, W: int):
+    def __call__(self, x, H: int, W: int, residual=None):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = DWConvMS(self.hidden, dtype=self.dtype, name="dwconv")(x, H, W)
-        x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        if residual is None:
+            x = nn.gelu(x, approximate=False)
+            return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        # stats-threaded fused path: GELU + fc2 + residual + next-LN stats as
+        # one pass — returns (residual + fc2(gelu(x)), mean, var)
+        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.models.vit import _DenseParams
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
+        k_p, b_p = _DenseParams(self.dim, name="fc2")(self.hidden)
+        return dense_residual_stats(
+            x, k_p, b_p, residual, jnp.ones((self.dim,), jnp.float32),
+            apply_gelu=True, interpret=fused_dense_impl() == "interpret")
 
 
 def drop_path(x, rate: float, deterministic: bool, rng=None):
@@ -275,25 +315,53 @@ class Extractor(nn.Module):
 
     @nn.compact
     def __call__(self, query, reference_points, feat,
-                 value_spatial_shapes, H_c: int, W_c: int, train: bool = False):
-        attn = MSDeformAttn(
+                 value_spatial_shapes, H_c: int, W_c: int, train: bool = False,
+                 stats=None):
+        """`stats` are precomputed query_norm statistics (from the previous
+        extractor's fused fc2 junction). Returns (query, next_stats) where
+        next_stats feeds the NEXT extractor's query_norm — None on the
+        unfused path. Fused junctions run only at inference (`not train`):
+        the train path keeps drop_path semantics and the plain residual
+        graph."""
+        from dinounet_tpu.configuration import use_fused_dense
+
+        fused = use_fused_dense() and not train
+        attn_mod = MSDeformAttn(
             d_model=self.dim, n_levels=1, n_heads=self.num_heads,
             n_points=self.n_points, ratio=self.deform_ratio, dtype=self.dtype,
             name="attn",
-        )(
-            LayerNormFp32(1e-6, name="query_norm")(query),
-            reference_points,
-            LayerNormFp32(1e-6, name="feat_norm")(feat),
-            value_spatial_shapes,
         )
-        query = query + attn
-        if self.with_cffn:
-            ffn_out = ConvFFN(
-                self.dim, int(self.dim * self.cffn_ratio), dtype=self.dtype, name="ffn",
-            )(LayerNormFp32(1e-6, name="ffn_norm")(query), H_c, W_c)
-            rng = self.make_rng("dropout") if (train and self.drop_path_rate > 0) else None
-            query = query + drop_path(ffn_out, self.drop_path_rate, not train, rng)
-        return query
+        q_normed = LayerNormFp32(1e-6, name="query_norm")(query, stats=stats)
+        f_normed = LayerNormFp32(1e-6, name="feat_norm")(feat)
+        if not fused:
+            attn = attn_mod(q_normed, reference_points, f_normed,
+                            value_spatial_shapes)
+            query = query + attn
+            if self.with_cffn:
+                ffn_out = ConvFFN(
+                    self.dim, int(self.dim * self.cffn_ratio),
+                    dtype=self.dtype, name="ffn",
+                )(LayerNormFp32(1e-6, name="ffn_norm")(query), H_c, W_c)
+                rng = (self.make_rng("dropout")
+                       if (train and self.drop_path_rate > 0) else None)
+                query = query + drop_path(ffn_out, self.drop_path_rate,
+                                          not train, rng)
+            return query, None
+
+        # stats-threaded fused path: both residual junctions (attn output
+        # proj, ffn fc2) run as fused dense+residual+LN-stats kernels; each
+        # LayerNorm apply then fuses into its consumers' prologues
+        query, mu, var = attn_mod(q_normed, reference_points, f_normed,
+                                  value_spatial_shapes, residual=query)
+        if not self.with_cffn:
+            return query, (mu, var)
+        ffn_normed = LayerNormFp32(1e-6, name="ffn_norm")(query,
+                                                          stats=(mu, var))
+        query, mu2, var2 = ConvFFN(
+            self.dim, int(self.dim * self.cffn_ratio), dtype=self.dtype,
+            name="ffn",
+        )(ffn_normed, H_c, W_c, residual=query)
+        return query, (mu2, var2)
 
 
 class InteractionBlock(nn.Module):
@@ -313,16 +381,17 @@ class InteractionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, vit_tokens, c, reference_points, value_spatial_shapes,
-                 H_c: int, W_c: int, train: bool = False):
+                 H_c: int, W_c: int, train: bool = False, stats=None):
         n_extract = 3 if self.extra_extractor else 1
         for i in range(n_extract):
-            c = Extractor(
+            c, stats = Extractor(
                 dim=self.dim, num_heads=self.num_heads, n_points=self.n_points,
                 deform_ratio=self.deform_ratio, cffn_ratio=self.cffn_ratio,
                 drop_path_rate=self.drop_path_rate, dtype=self.dtype,
                 name=f"extractor{i}" if i else "extractor",
-            )(c, reference_points, vit_tokens, value_spatial_shapes, H_c, W_c, train)
-        return c
+            )(c, reference_points, vit_tokens, value_spatial_shapes, H_c, W_c,
+              train, stats)
+        return c, stats
 
 
 class SpatialPriorModule(nn.Module):
@@ -432,14 +501,15 @@ class DINOv3Adapter(nn.Module):
 
         outs = []
         n_blocks = len(backbone_outputs)
+        stats = None  # query_norm stats threaded across the extractor chain
         for i, (vit_tokens, _cls) in enumerate(backbone_outputs):
-            c = block_cls(
+            c, stats = block_cls(
                 dim=E, num_heads=self.deform_num_heads, n_points=self.n_points,
                 deform_ratio=self.deform_ratio, cffn_ratio=self.cffn_ratio,
                 drop_path_rate=self.drop_path_rate,
                 extra_extractor=(i == n_blocks - 1) and self.use_extra_extractor,
                 dtype=self.dtype, name=f"interaction{i}",
-            )(vit_tokens, c, ref_points, value_shapes, H_c, W_c, train)
+            )(vit_tokens, c, ref_points, value_shapes, H_c, W_c, train, stats)
             outs.append(vit_tokens.reshape(B, H_t, W_t, E))
 
         # split conv-token stream back into spatial maps

@@ -242,15 +242,55 @@ class Attention(nn.Module):
         M, Dh = cfg.num_heads, cfg.head_dim
         cdt = jnp.dtype(cfg.dtype)
 
+        from dinounet_tpu.configuration import (
+            use_fused_attention, vit_int8)
+
+        if use_fused_attention() and not vit_int8():
+            # Premapped fast path: the QKV projection emits the kernel's
+            # per-head (B, 3, M, N, Dh) layout directly (the transposed write
+            # folds into the matmul — the premapped-MSDA trick), the Pallas
+            # kernel (RoPE + QK^T + softmax + PV in VMEM) returns the
+            # attention output channel-major (B, M, Dh, N), and the output
+            # projection consumes it via the channel-major fused
+            # dense+LayerScale-residual+LN-stats kernel — no XLA-side
+            # head-slice/transpose passes on either side of the kernel.
+            # Forward-only kernels — valid because the backbone is frozen on
+            # every DinoUNet path (custom VJPs differentiate the einsum
+            # formulation for the linearization pass).
+            from dinounet_tpu.configuration import fused_dense_impl
+            from dinounet_tpu.ops.attention_pallas import (
+                fused_rope_attention_premapped)
+
+            interp = fused_dense_impl() == "interpret"
+            k_q, b_q = _DenseParams(3 * C, cfg.qkv_bias, name="qkv")(C)
+            qkv_t = jnp.einsum("bnc,cpmd->bpmnd", x,
+                               k_q.reshape(C, 3, M, Dh).astype(cdt))
+            if cfg.qkv_bias:
+                qkv_t = qkv_t + b_q.reshape(3, M, 1, Dh).astype(cdt)
+            sin, cos = rope if rope is not None else (None, None)
+            o_t = fused_rope_attention_premapped(qkv_t, sin, cos,
+                                                 interpret=interp)
+            if residual is None:
+                o = jnp.transpose(o_t, (0, 3, 1, 2)).reshape(B, N, C)
+                return _backbone_dense(C, cfg.proj_bias, cdt, "proj")(o)
+
+            from dinounet_tpu.ops.dense_stats_pallas import (
+                dense_cm_residual_stats)
+
+            k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
+            return dense_cm_residual_stats(
+                o_t.reshape(B, C, N), k_p, b_p, residual, ls_gamma,
+                interpret=interp)
+
         qkv = _backbone_dense(3 * C, cfg.qkv_bias, cdt, "qkv")(x)
         qkv = qkv.reshape(B, N, 3, M, Dh)
-
-        from dinounet_tpu.configuration import use_fused_attention
 
         if use_fused_attention():
             # Pallas kernel: RoPE + QK^T + softmax + PV in VMEM, no HBM
             # score matrices (ops/attention_pallas.py). Forward-only — valid
-            # because the backbone is frozen on every DinoUNet path.
+            # because the backbone is frozen on every DinoUNet path. (int8
+            # serving mode lands here: QuantDense computes the projections,
+            # the kernel consumes the row-major layout.)
             from dinounet_tpu.ops.attention_pallas import fused_rope_attention
 
             sin, cos = rope if rope is not None else (None, None)

@@ -70,6 +70,130 @@ def _kernel(scale, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
     o_ref[0, 0] = (pv / denom).astype(cdt)
 
 
+def _kernel_pm(scale, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
+    """Premapped variant: one program = one (batch, head); q/k/v blocks are
+    (1, 1, 1, N, Dh) planes of the (B, 3, M, N, Dh) projection output, and
+    the output block is (1, 1, Dh, N) — channel-major, so the attention
+    output feeds the fused output-projection kernel
+    (ops/dense_stats_pallas.py::dense_cm_residual_stats) with no relayout
+    pass on either side. The PV product is computed directly in (Dh, N)
+    orientation by contracting the key axis of V with the key axis of the
+    probabilities — same FLOPs, transposed output."""
+    Dh = q_ref.shape[-1]
+    cdt = q_ref.dtype
+    sin = sin_ref[...]
+    cos = cos_ref[...]
+
+    def rope(x, mul=None):
+        xf = x.astype(jnp.float32)
+        r = xf * cos + pltpu.roll(xf, Dh // 2, 1) * sin
+        if mul is not None:
+            r = r * mul
+        return r.astype(cdt)
+
+    q = rope(q_ref[0, 0, 0], scale)
+    k = rope(k_ref[0, 0, 0])
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m).astype(cdt)
+    denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)  # (N, 1)
+    # pv_t[d, n] = sum_k v[k, d] * e[n, k]
+    pv_t = jax.lax.dot_general(
+        v_ref[0, 0, 0], e, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (pv_t / denom[:, 0][None, :]).astype(cdt)
+
+
+def _xla_reference_pm(qkv_t, sin_eff, cos):
+    """Einsum formulation over the premapped (B, 3, M, N, Dh) layout,
+    returning (B, M, Dh, N) — numerical source for the custom VJP."""
+    Dh = qkv_t.shape[-1]
+    q, k, v = qkv_t[:, 0], qkv_t[:, 1], qkv_t[:, 2]  # (B, M, N, Dh)
+
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        rolled = jnp.roll(xf, Dh // 2, axis=-1)
+        return (xf * cos + rolled * sin_eff).astype(x.dtype)
+
+    q = rope(q)
+    k = rope(k)
+    s = jnp.einsum("bmnd,bmkd->bmnk", q, k,
+                   preferred_element_type=jnp.float32) * (Dh ** -0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bmnk,bmkd->bmdn", p, v,
+                      preferred_element_type=jnp.float32).astype(qkv_t.dtype)
+
+
+def fused_rope_attention_premapped(qkv_t: jnp.ndarray,
+                                   sin: jnp.ndarray | None,
+                                   cos: jnp.ndarray | None,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """qkv_t: (B, 3, M, N, Dh) — the QKV projection emitted directly in the
+    kernel's per-head layout (models/vit.py computes it as one einsum whose
+    transposed write folds into the matmul, the premapped-MSDA trick).
+    Returns the attention output channel-major: (B, M, Dh, N)."""
+    N, Dh = qkv_t.shape[3], qkv_t.shape[4]
+    if sin is not None:
+        half = Dh // 2
+        sin_eff = jnp.concatenate(
+            [-sin[:, :half], sin[:, half:]], axis=-1).astype(jnp.float32)
+        cos = cos.astype(jnp.float32)
+    else:
+        sin_eff = jnp.zeros((N, Dh), jnp.float32)
+        cos = jnp.ones((N, Dh), jnp.float32)
+    return _fused_rope_attention_pm(qkv_t, sin_eff, cos, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_rope_attention_pm(qkv_t, sin_eff, cos, interpret=False):
+    return _pallas_forward_pm(qkv_t, sin_eff, cos, interpret)
+
+
+def _vjp_fwd_pm(qkv_t, sin_eff, cos, interpret):
+    return _pallas_forward_pm(qkv_t, sin_eff, cos, interpret), (
+        qkv_t, sin_eff, cos)
+
+
+def _vjp_bwd_pm(interpret, res, g):
+    qkv_t, sin_eff, cos = res
+    _, pullback = jax.vjp(lambda q: _xla_reference_pm(q, sin_eff, cos), qkv_t)
+    return (pullback(g)[0], jnp.zeros_like(sin_eff), jnp.zeros_like(cos))
+
+
+_fused_rope_attention_pm.defvjp(_vjp_fwd_pm, _vjp_bwd_pm)
+
+
+def _pallas_forward_pm(qkv_t, sin_eff, cos, interpret=False):
+    B, three, M, N, Dh = qkv_t.shape
+    assert three == 3
+
+    kern = functools.partial(_kernel_pm, Dh ** -0.5)
+
+    def plane(p):
+        return pl.BlockSpec((1, 1, 1, N, Dh), lambda b, m, _p=p: (b, _p, m, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    table_spec = pl.BlockSpec((N, Dh), lambda b, m: (0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, M),
+        in_specs=[plane(0), plane(1), plane(2), table_spec, table_spec],
+        out_specs=pl.BlockSpec((1, 1, Dh, N), lambda b, m: (b, m, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, Dh, N), qkv_t.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * M * N * N * Dh,
+            bytes_accessed=qkv_t.dtype.itemsize * 4 * B * M * N * Dh,
+            transcendentals=B * M * N * N,
+        ),
+        interpret=interpret,
+    )(qkv_t, qkv_t, qkv_t, sin_eff, cos)
+
+
 def _xla_reference(qkv, sin_eff, cos):
     """The einsum formulation on the sign-folded tables — used only as the
     numerical source for the custom VJP (models/vit.py's fallback path has

@@ -193,6 +193,124 @@ def _forward(h, w, b, res, gamma, apply_gelu, interpret):
     return out, mu[..., 0], var[..., 0]
 
 
+def _cm_kernel(h_ref, w_ref, b_ref, res_ref, g_ref, o_ref, mu_ref, var_ref):
+    """Channel-major lhs variant: one program = one (batch, token-block).
+    h: (1, K, R) — K channel-major rows, R tokens in lanes; w: (K, D);
+    b/g: (1, D); res/o: (1, R, D); mu/var: (1, R, 1)."""
+    acc = jax.lax.dot_general(
+        h_ref[0], w_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (R, D)
+    y = acc.astype(o_ref.dtype) + b_ref[...].astype(o_ref.dtype)
+    out = res_ref[0] + y * g_ref[...].astype(o_ref.dtype)
+    o_ref[0] = out
+    of = o_ref[0].astype(jnp.float32)
+    mu = jnp.mean(of, axis=-1, keepdims=True)
+    m2 = jnp.mean(of * of, axis=-1, keepdims=True)
+    mu_ref[0] = mu
+    var_ref[0] = jnp.maximum(m2 - mu * mu, 0.0)
+
+
+def _pick_lane_block(n: int, cap: int = 384) -> int:
+    """Token-block size for the channel-major variant, where tokens are the
+    *lane* dimension of the input block — must be a multiple of 128."""
+    n_blocks = -(-n // cap)
+    per_block = -(-n // n_blocks)
+    return -(-per_block // 128) * 128
+
+
+def _cm_reference(h_t, w, b, res, gamma):
+    """Pure-jnp formulation of the channel-major op with identical rounding
+    points — numerical source for the custom VJP and CPU cross-checks.
+    h_t: (B, K, N); out[b,n,d] = res + gamma*(sum_k h_t[b,k,n] w[k,d] + b[d])."""
+    acc = jax.lax.dot_general(
+        h_t, w.astype(h_t.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (B, N, D)
+    y = acc.astype(h_t.dtype) + b.astype(h_t.dtype)
+    out = res + y * gamma.astype(h_t.dtype)
+    of = out.astype(jnp.float32)
+    mu = jnp.mean(of, axis=-1)
+    var = jnp.maximum(jnp.mean(of * of, axis=-1) - mu * mu, 0.0)
+    return out, mu, var
+
+
+def dense_cm_residual_stats(h_t, w, b, res, gamma, interpret: bool = False):
+    """out = res + gamma * (h_t^T @ w + b), plus next-LN row statistics, where
+    the activations arrive channel-major: h_t (B, K, N) with tokens in lanes.
+
+    This is the residual-junction form of the MSDA output projection (kernel
+    emits (B, M, D, N) natively) and of the premapped attention output
+    projection (ops/attention_pallas.py emits (B, M, Dh, N)): fusing the
+    projection, LayerScale residual add, and the next LayerNorm's statistics
+    into one pass removes the separate (B, N, D) relayout+residual+stats
+    reads of the token stream. w: (K, D) f32 params; b: (D,) f32; res:
+    (B, N, D) compute dtype; gamma: (D,) f32 LayerScale (pass ones for
+    gamma-free junctions). Returns (out (B, N, D) in res.dtype, mean (B, N)
+    f32, var (B, N) f32).
+    """
+    return _dense_cm_residual_stats(h_t, w, b, res, gamma, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dense_cm_residual_stats(h_t, w, b, res, gamma, interpret):
+    return _cm_forward(h_t, w, b, res, gamma, interpret)
+
+
+def _cm_vjp_fwd(h_t, w, b, res, gamma, interpret):
+    return _cm_forward(h_t, w, b, res, gamma, interpret), (h_t, w, b, res, gamma)
+
+
+def _cm_vjp_bwd(interpret, saved, cts):
+    h_t, w, b, res, gamma = saved
+    _, pullback = jax.vjp(_cm_reference, h_t, w, b, res, gamma)
+    return pullback(cts)
+
+
+_dense_cm_residual_stats.defvjp(_cm_vjp_fwd, _cm_vjp_bwd)
+
+
+def _cm_forward(h_t, w, b, res, gamma, interpret):
+    B, K, N = h_t.shape
+    D = w.shape[1]
+    blk = _pick_lane_block(N)
+    wc = w.astype(h_t.dtype)
+    out, mu, var = pl.pallas_call(
+        _cm_kernel,
+        grid=(B, -(-N // blk)),
+        in_specs=[
+            pl.BlockSpec((1, K, blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), res.dtype),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K * D,
+            bytes_accessed=h_t.dtype.itemsize * B * N * (K + 2 * D),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(h_t, wc, b.reshape(1, D), res, gamma.reshape(1, D))
+    return out, mu[..., 0], var[..., 0]
+
+
 def row_stats(x):
     """LayerNormFp32-compatible (mean, var) over the last dim of x, in fp32 —
     the entry statistics for the stats-threaded block chain (XLA pass; one

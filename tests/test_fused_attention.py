@@ -84,3 +84,56 @@ def test_grad_matches_xla_path(rng):
     g2 = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("N,M,Dh,n_prefix", [(68, 4, 64, 4), (37, 2, 32, 5)])
+def test_premapped_matches_legacy_kernel(rng, N, M, Dh, n_prefix):
+    """The premapped kernel ((B,3,M,N,Dh) in, channel-major (B,M,Dh,N) out)
+    must agree with the row-major kernel on relaid-out inputs."""
+    import jax.numpy as jnp
+
+    from dinounet_tpu.models.vit import rope_sincos
+    from dinounet_tpu.ops.attention_pallas import (
+        fused_rope_attention, fused_rope_attention_premapped)
+
+    B = 2
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3, M, Dh)), jnp.float32)
+    n_patches = N - n_prefix
+    sin, cos = rope_sincos(1, n_patches, Dh)
+    sin = jnp.concatenate([jnp.zeros((n_prefix, Dh), jnp.float32), sin])
+    cos = jnp.concatenate([jnp.ones((n_prefix, Dh), jnp.float32), cos])
+
+    want = fused_rope_attention(qkv, sin, cos, interpret=True)  # (B,N,M,Dh)
+
+    qkv_t = jnp.transpose(qkv, (0, 2, 3, 1, 4))  # (B, 3, M, N, Dh)
+    got = fused_rope_attention_premapped(qkv_t, sin, cos, interpret=True)
+    got = jnp.transpose(got, (0, 3, 1, 2))  # (B,M,Dh,N) -> (B,N,M,Dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_premapped_grad_matches_reference(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from dinounet_tpu.ops.attention_pallas import (
+        _xla_reference_pm, fused_rope_attention_premapped)
+
+    B, N, M, Dh = 1, 24, 2, 32
+    qkv_t = jnp.asarray(rng.standard_normal((B, 3, M, N, Dh)), jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((N, Dh)) * 0.1, jnp.float32)
+    cos = jnp.ones((N, Dh), jnp.float32)
+
+    def loss_kernel(q):
+        return jnp.sum(
+            fused_rope_attention_premapped(q, None, None, interpret=True) ** 2)
+
+    def loss_ref(q):
+        return jnp.sum(_xla_reference_pm(
+            q, jnp.zeros((N, Dh), jnp.float32), jnp.ones((N, Dh), jnp.float32)
+        ) ** 2)
+
+    g1 = jax.grad(loss_kernel)(qkv_t)
+    g2 = jax.grad(loss_ref)(qkv_t)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-3)

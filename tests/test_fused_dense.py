@@ -132,6 +132,39 @@ class TestModelPath:
             np.testing.assert_allclose(np.asarray(cg, np.float32),
                                        np.asarray(cr, np.float32), atol=0.02)
 
+    def test_premapped_attention_path_matches_unfused(self, rng, monkeypatch):
+        """The full premapped attention branch (qkv emitted (B,3,M,N,Dh),
+        channel-major kernel output, cm fused projection) must match the
+        plain flax path with an identical param tree."""
+        from dinounet_tpu.models.vit import DinoViT, ViTConfig
+
+        cfg = ViTConfig(embed_dim=64, depth=3, num_heads=2, ffn_ratio=2,
+                        patch_size=16)
+        model = DinoViT(cfg)
+        x = _rand(rng, (2, 64, 64, 3), jnp.float32)
+
+        monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "jax")
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "jax")
+        v1 = model.init(jax.random.PRNGKey(0), x, (0, 1, 2))
+        ref = model.apply(v1, x, (0, 1, 2))
+
+        # ATTN pallas + DENSE interpret => the premapped branch with both
+        # kernels in interpreter mode (CPU-runnable)
+        monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "pallas")
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        v2 = model.init(jax.random.PRNGKey(0), x, (0, 1, 2))
+        import jax.tree_util as jtu
+        p1 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v1)}
+        p2 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v2)}
+        assert p1 == p2
+
+        got = model.apply(v1, x, (0, 1, 2))
+        for (pr, cr), (pg, cg) in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(pg, np.float32),
+                                       np.asarray(pr, np.float32), atol=0.03)
+            np.testing.assert_allclose(np.asarray(cg, np.float32),
+                                       np.asarray(cr, np.float32), atol=0.03)
+
     def test_int8_mode_forces_unfused(self, monkeypatch):
         from dinounet_tpu import configuration
 
@@ -139,3 +172,143 @@ class TestModelPath:
         monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
         assert configuration.fused_dense_impl() == "jax"
         assert not configuration.use_fused_dense()
+
+
+class TestChannelMajorKernel:
+    @pytest.mark.parametrize("shape", [(2, 32, 48, 64),    # lane block > N
+                                       (1, 64, 256, 128),  # divisible tokens
+                                       (2, 48, 84, 96)])   # ragged tokens
+    def test_matches_reference(self, rng, shape):
+        from dinounet_tpu.ops.dense_stats_pallas import (
+            _cm_reference, dense_cm_residual_stats)
+
+        B, K, N, D = shape
+        h_t = _rand(rng, (B, K, N))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        res = _rand(rng, (B, N, D))
+        g = _rand(rng, (D,), jnp.float32, 0.01)
+        out, mu, var = dense_cm_residual_stats(h_t, w, b, res, g,
+                                               interpret=True)
+        ro, rmu, rvar = _cm_reference(h_t, w, b, res, g)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ro, np.float32))
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(rmu), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(rvar), atol=4e-3)
+
+    def test_agrees_with_row_major_kernel(self, rng):
+        """The channel-major op must equal the row-major op on the transposed
+        activations (unit LayerScale) — the two fused MSDA output-proj forms."""
+        from dinounet_tpu.ops.dense_stats_pallas import (
+            dense_cm_residual_stats, dense_residual_stats)
+
+        B, K, N, D = 2, 32, 40, 48
+        h_t = _rand(rng, (B, K, N))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        res = _rand(rng, (B, N, D))
+        g = _rand(rng, (D,), jnp.float32, 0.01)
+        o1, m1, v1 = dense_cm_residual_stats(h_t, w, b, res, g, interpret=True)
+        o2, m2, v2 = dense_residual_stats(
+            jnp.swapaxes(h_t, 1, 2), w, b, res, g, interpret=True)
+        np.testing.assert_array_equal(np.asarray(o1, np.float32),
+                                      np.asarray(o2, np.float32))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+    def test_custom_vjp_matches_reference(self, rng):
+        from dinounet_tpu.ops.dense_stats_pallas import (
+            _cm_reference, dense_cm_residual_stats)
+
+        h_t = _rand(rng, (1, 32, 16))
+        w = _rand(rng, (32, 24), jnp.float32, 0.1)
+        b = _rand(rng, (24,), jnp.float32, 0.1)
+        res = _rand(rng, (1, 16, 24))
+
+        g = _rand(rng, (24,), jnp.float32, 0.5)
+
+        def loss_kernel(h_, w_):
+            o, m, v = dense_cm_residual_stats(h_, w_, b, res, g,
+                                              interpret=True)
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(m) + jnp.sum(v))
+
+        def loss_ref(h_, w_):
+            o, m, v = _cm_reference(h_, w_, b, res, g)
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(m) + jnp.sum(v))
+
+        gh, gw = jax.grad(loss_kernel, argnums=(0, 1))(h_t, w)
+        rh, rw = jax.grad(loss_ref, argnums=(0, 1))(h_t, w)
+        np.testing.assert_allclose(np.asarray(gh, np.float32),
+                                   np.asarray(rh, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=0.05, atol=0.05)
+
+
+class TestAdapterFusedPath:
+    def test_fused_adapter_matches_unfused(self, rng, monkeypatch):
+        """DINOv3Adapter with the stats-threaded fused extractor junctions
+        (interpret mode, gather-core MSDA) must match the plain path closely,
+        with an identical param tree (shared checkpoints)."""
+        from dinounet_tpu.models.adapter import DINOv3Adapter
+
+        E, B, H, W = 64, 2, 64, 64
+        model = DINOv3Adapter(embed_dim=E, conv_inplane=16,
+                              deform_num_heads=4, n_points=2,
+                              drop_path_rate=0.0)
+        x = _rand(rng, (B, H, W, 3), jnp.float32)
+        n_tok = (H // 16) * (W // 16)
+        outs = [( _rand(rng, (B, n_tok, E)), _rand(rng, (B, E)) )
+                for _ in range(4)]
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "jax")
+        v1 = model.init(jax.random.PRNGKey(0), x, outs)
+        ref = model.apply(v1, x, outs)
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        v2 = model.init(jax.random.PRNGKey(0), x, outs)
+        import jax.tree_util as jtu
+        p1 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v1)}
+        p2 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v2)}
+        assert p1 == p2
+
+        got = model.apply(v1, x, outs)
+        for r, g in zip(ref, got):
+            # a few bf16 ulps at O(2) magnitudes: the fused path's fp32 GELU
+            # and stats-threaded LayerNorms round differently and the deltas
+            # compound through the 6 chained extractors
+            np.testing.assert_allclose(np.asarray(g, np.float32),
+                                       np.asarray(r, np.float32),
+                                       rtol=0.03, atol=0.04)
+
+    def test_train_path_unchanged_by_dense_impl(self, rng, monkeypatch):
+        """train=True never engages the fused junctions (drop_path semantics):
+        outputs are identical whatever DINOUNET_TPU_DENSE_IMPL says."""
+        from dinounet_tpu.models.adapter import DINOv3Adapter
+
+        E, B, H, W = 64, 1, 64, 64
+        model = DINOv3Adapter(embed_dim=E, conv_inplane=16,
+                              deform_num_heads=4, n_points=2,
+                              drop_path_rate=0.3)
+        x = _rand(rng, (B, H, W, 3), jnp.float32)
+        n_tok = (H // 16) * (W // 16)
+        outs = [( _rand(rng, (B, n_tok, E)), _rand(rng, (B, E)) )
+                for _ in range(4)]
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "jax")
+        v1 = model.init(jax.random.PRNGKey(0), x, outs)
+
+        def run():
+            return model.apply(
+                v1, x, outs, train=True,
+                rngs={"dropout": jax.random.PRNGKey(7)},
+                mutable=["batch_stats"])[0]
+
+        ref = run()
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        got = run()
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                          np.asarray(r, np.float32))
