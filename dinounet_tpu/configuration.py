@@ -94,6 +94,24 @@ def use_fused_dense() -> bool:
     return fused_dense_impl() != "jax"
 
 
+def decoder_tail_impl() -> str:
+    """Implementation of the fused high-res decoder tail
+    (ops/decoder_tail_pallas.py): channel-major conv+InstanceNorm+leaky+seg
+    kernels for the final decoder stage at inference.
+
+    DINOUNET_TPU_DECODER_TAIL in {"auto", "pallas", "interpret", "jax"}:
+    "auto" uses the Pallas kernels on TPU and the plain flax path elsewhere.
+    """
+    impl = os.environ.get("DINOUNET_TPU_DECODER_TAIL", "auto")
+    if impl in ("pallas", "interpret", "jax"):
+        return impl
+    return "pallas" if use_pallas_msda() else "jax"
+
+
+def use_fused_decoder_tail() -> bool:
+    return decoder_tail_impl() != "jax"
+
+
 def enable_persistent_compilation_cache() -> None:
     """Turn on JAX's on-disk executable cache (idempotent).
 

@@ -13,7 +13,89 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dinounet_tpu.models.layers import StackedConvBlocks, TransposedConv
+from dinounet_tpu.models.layers import (StackedConvBlocks, TransposedConv,
+                                        conv_kaiming_init)
+
+
+class _ConvParams(nn.Module):
+    """nn.Conv-identical param tree (kernel/bias) for the fused tail path."""
+    features: int
+    kernel_size: Tuple[int, int]
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", conv_kaiming_init,
+                       (*self.kernel_size, in_features, self.features),
+                       jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+        else:
+            b = jnp.zeros((self.features,), jnp.float32)
+        return k, b
+
+
+class _InstanceNormParams(nn.Module):
+    """InstanceNorm-identical param tree (scale/bias)."""
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _NormParams(nn.Module):
+    """Mirrors layers.Norm('instancenorm') -> InstanceNorm(name='norm')."""
+    @nn.compact
+    def __call__(self, features: int):
+        return _InstanceNormParams(name="norm")(features)
+
+
+class _ConvNormActParams(nn.Module):
+    """Mirrors layers.ConvNormAct's param tree (conv + norm/norm)."""
+    features: int
+    kernel_size: Tuple[int, int]
+    conv_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k, b = _ConvParams(self.features, self.kernel_size, self.conv_bias,
+                           name="conv")(in_features)
+        g, be = _NormParams(name="norm")(self.features)
+        return k, b, g, be
+
+
+class _StageParams(nn.Module):
+    """Mirrors StackedConvBlocks(n_convs=2)'s param tree (conv0, conv1)."""
+    features: int
+    kernel_size: Tuple[int, int]
+    conv_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        p0 = _ConvNormActParams(self.features, self.kernel_size,
+                                self.conv_bias, name="conv0")(in_features)
+        p1 = _ConvNormActParams(self.features, self.kernel_size,
+                                self.conv_bias, name="conv1")(self.features)
+        return p0, p1
+
+
+class _SegParams(nn.Module):
+    """SegHead-identical param tree (kernel (1,..,1,C,K) + bias)."""
+    num_classes: int
+    rank: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1,) * self.rank + (in_features, self.num_classes), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_classes,), jnp.float32)
+        return kernel.reshape(in_features, self.num_classes), bias
 
 
 class SegHead(nn.Module):
@@ -78,6 +160,9 @@ class UNetDecoder(nn.Module):
                 name=f"transpconv{s - 1}",
             )(lres)
             x = jnp.concatenate([x, skips[-(s + 1)]], axis=-1)
+            if self._use_fused_tail(s, n_stages, stride, x, train):
+                seg_outputs.append(self._fused_tail(s, skip_ch, x))
+                break
             x = StackedConvBlocks(
                 n_convs=self.n_conv_per_stage[s - 1], features=skip_ch,
                 kernel_size=tuple(self.encoder_kernel_sizes[-(s + 1)]),
@@ -101,3 +186,44 @@ class UNetDecoder(nn.Module):
         if self.deep_supervision:
             return seg_outputs
         return seg_outputs[0]
+
+    def _use_fused_tail(self, s, n_stages, stride, x, train) -> bool:
+        """The fused channel-major tail (ops/decoder_tail_pallas.py) replaces
+        the final stage's StackedConvBlocks + seg head at inference: XLA runs
+        these full-resolution low-channel convs at ~12% MFU (sub-128 output
+        channels), the Pallas chain at M=3*Cout matmul shapes. Inference-only:
+        training keeps the plain flax graph (and its XLA backward)."""
+        if train or s != n_stages - 1 or len(stride) != 2:
+            return False
+        if self.n_conv_per_stage[s - 1] != 2:
+            return False
+        if tuple(self.encoder_kernel_sizes[-(s + 1)]) != (3, 3):
+            return False
+        if self.norm != "instancenorm" or self.nonlin != "leaky_relu":
+            return False
+        from dinounet_tpu.configuration import use_fused_decoder_tail
+        from dinounet_tpu.ops.decoder_tail_pallas import tail_supported
+
+        return use_fused_decoder_tail() and tail_supported(
+            (x.shape[0], x.shape[3], x.shape[1], x.shape[2]))
+
+    def _fused_tail(self, s, skip_ch, x):
+        """Run the final stage through the fused kernels. Declares param
+        trees identical to the flax modules it replaces (stage{s-1}/conv{i}/
+        {conv,norm/norm}, seg{s-1}) so both paths share checkpoints."""
+        from dinounet_tpu.configuration import decoder_tail_impl
+        from dinounet_tpu.ops.decoder_tail_pallas import decoder_tail_cm
+
+        ks = tuple(self.encoder_kernel_sizes[-(s + 1)])
+        p0, p1 = _StageParams(skip_ch, ks, self.conv_bias,
+                              name=f"stage{s - 1}")(x.shape[-1])
+        kseg, bseg = _SegParams(self.num_classes, rank=2,
+                                name=f"seg{s - 1}")(skip_ch)
+        nk = self.norm_kwargs or {}
+        nlk = self.nonlin_kwargs or {}
+        logits_cm = decoder_tail_cm(
+            jnp.transpose(x, (0, 3, 1, 2)), *p0, *p1, kseg, bseg,
+            eps=nk.get("eps", 1e-5),
+            slope=nlk.get("negative_slope", 0.01),
+            interpret=decoder_tail_impl() == "interpret")
+        return jnp.transpose(logits_cm, (0, 2, 3, 1))

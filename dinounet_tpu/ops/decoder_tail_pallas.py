@@ -1,0 +1,340 @@
+"""Fused high-resolution decoder tail — channel-major Pallas TPU kernels.
+
+The final U-Net decoder stage runs at full tile resolution with 32-64
+channels; XLA's TPU conv emitter handles sub-128 output channels by packing
+batch into sublanes ("EmitOutputBatchInSublanes") and runs these convs at
+~12% MFU, plus standalone InstanceNorm-apply / leaky_relu passes at 25% lane
+utilization (round-2 trace, BASELINE.md: stage2 conv0 3.26 ms + conv1
+2.04 ms + leaky select 1.64 ms + seg 0.71 ms at 512^2).
+
+These kernels run the stage in a channel-major (B, C, H, W) layout where the
+lane dimension is W (512 -> all 128 lanes live) and the 3x3 convolution is a
+dy-summed / dx-stacked matmul:
+
+    acc[(dx, cout), j, x] = sum_{dy, cin} W[dy, dx, cin, cout] * in[cin, j+dy, x]
+    out[cout, j, x]       = sum_{dx} acc[(dx, cout), j, x + dx - 1]
+
+i.e. three K=Cin matmuls with M = 3*Cout (75-100% MXU shapes vs 25%) followed
+by a cheap lane shift-add. One program = one (batch, row-stripe); halo rows
+arrive as two extra 1-row operands whose block index is clamped at the image
+boundary and masked to the conv's zero padding in-kernel. InstanceNorm is
+global over H*W per (sample, channel), so the chain is three pallas_calls
+with per-stripe partial sums reduced between them (XLA-side, tiny):
+
+    A: conv0(concat(up, skip)) + b0           -> y0 + (sum, sumsq)
+    B: conv1(leaky(IN0(y0))) + b1             -> y1 + (sum, sumsq)
+    C: seg(leaky(IN1(y1)))                    -> fp32 logits
+
+The earlier single-conv Pallas attempt (BASELINE.md negative results) lost to
+XLA because NHWC<->channel-major transposes appeared at every stage boundary;
+here the whole tail commits to the channel-major layout, so the relayout
+happens once on entry (the 64-channel concat input) and once on the fp32
+logits.
+
+Inference-only by design: the decoder engages these kernels when train=False
+(training keeps the plain flax graph, whose backward XLA already handles
+well), so no custom VJP is carried.
+
+ref semantics: dinounet_training.py:517-629 (UNetDecoder: transpconv ->
+concat -> StackedConvBlocks(conv+InstanceNorm+leaky_relu) -> 1x1 seg head);
+numerics match models/layers.py::ConvNormAct / decoder.py::SegHead (bf16
+conv with f32 accumulation, fp32 InstanceNorm, fp32 logits).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_add(acc, bias):
+    """acc: (3, Cout, R, W) f32 -> (Cout, R, W): out[.., x] =
+    acc[0][.., x-1] + acc[1][.., x] + acc[2][.., x+1] + bias, with zero
+    columns beyond the W edges (the conv's SAME zero padding)."""
+    left = acc[0]
+    mid = acc[1]
+    right = acc[2]
+    z = jnp.zeros_like(left[..., :1])
+    out = mid + jnp.concatenate([z, left[..., :-1]], axis=-1)
+    out = out + jnp.concatenate([right[..., 1:], z], axis=-1)
+    return out + bias
+
+
+def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
+                 s_ref, t_ref, o_ref, sum_ref, ssq_ref):
+    """One (batch, stripe) program of conv3x3 (+ optional input prologue).
+
+    x: (1, Cin, R, W) current stripe rows; xp/xn: (1, Cin, 8, W) halo row
+    windows — Mosaic needs >=8-row blocks, so the neighbor stripes' edge
+    8-row windows arrive (block-index clamped at the image boundary) and the
+    single halo row is sliced here; w: (3*Cin, 3*Cout) f32 stacked as
+    [(dy, cin), (dx, cout)]; b: (1, Cout); s/t: (1, Cin) per-(sample,
+    channel) input prologue x*s + t followed by leaky_relu (the previous
+    InstanceNorm's apply; s=1, t=0, slope=None for the raw first conv);
+    o: (1, Cout, R, W); sum/ssq: (1, 1, 1, Cout) stripe partial sums of the
+    output (fp32, for the next InstanceNorm)."""
+    i = pl.program_id(1)
+    Cin, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    Cout = o_ref.shape[1]
+    cdt = o_ref.dtype
+
+    x = jnp.concatenate(
+        [xp_ref[0, :, -1:, :], x_ref[0], xn_ref[0, :, :1, :]], axis=1)
+    # (Cin, R+2, W)
+
+    if leaky_slope is not None:
+        xf = x.astype(jnp.float32) * s_ref[0][:, None, None] \
+            + t_ref[0][:, None, None]
+        x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
+
+    # the conv's zero padding applies to the (prologue-activated) feature
+    # map, so out-of-image halo rows zero out AFTER the prologue —
+    # leaky(0*s + t) is not 0
+    zrow = jnp.zeros_like(x[:, :1, :])
+    x = jnp.concatenate([
+        jnp.where(i == 0, zrow, x[:, :1, :]),
+        x[:, 1:-1, :],
+        jnp.where(i == n_stripes - 1, zrow, x[:, -1:, :]),
+    ], axis=1)
+
+    w = w_ref[...].astype(cdt).reshape(3, Cin, 3 * Cout)
+    bias = b_ref[...].astype(jnp.float32).reshape(Cout, 1, 1)
+
+    # row chunks keep the f32 (3*Cout, CH*W) accumulator small; the three
+    # K=Cin matmuls per chunk read dy-shifted views of the halo-extended
+    # stripe (no copies)
+    ch = min(_CHUNK_ROWS, R)
+    psum = jnp.zeros((Cout,), jnp.float32)
+    pssq = jnp.zeros((Cout,), jnp.float32)
+    for r0 in range(0, R, ch):
+        acc = None
+        for dy in range(3):
+            rhs = x[:, r0 + dy:r0 + dy + ch, :].reshape(Cin, ch * W)
+            part = jax.lax.dot_general(
+                w[dy], rhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (3*Cout, ch*W)
+            acc = part if acc is None else acc + part
+        out = _shift_add(acc.reshape(3, Cout, ch, W), bias)
+        o_ref[0, :, r0:r0 + ch, :] = out.astype(cdt)
+        of = o_ref[0, :, r0:r0 + ch, :].astype(jnp.float32)
+        psum = psum + jnp.sum(of, axis=(1, 2))
+        pssq = pssq + jnp.sum(of * of, axis=(1, 2))
+    sum_ref[0, 0, 0] = psum
+    ssq_ref[0, 0, 0] = pssq
+
+
+def _seg_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
+    """Final 1x1 seg head over the IN-applied, leaky-activated features.
+    x: (1, C, R, W); w: (C, K) f32; b: (1, K); s/t: (1, C) IN apply.
+    o: (1, K, R, W) fp32 logits."""
+    C, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    xf = x_ref[0].astype(jnp.float32) * s_ref[0][:, None, None] \
+        + t_ref[0][:, None, None]
+    xf = jnp.where(xf >= 0, xf, xf * leaky_slope)
+    x = xf.astype(x_ref.dtype).reshape(C, R * W)
+    out = jax.lax.dot_general(
+        w_ref[...].astype(x_ref.dtype), x, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (K, R*W)
+    K = o_ref.shape[1]
+    o_ref[0] = out.reshape(K, R, W) \
+        + b_ref[...].astype(jnp.float32).reshape(K, 1, 1)
+
+
+_CHUNK_ROWS = 8  # inner accumulator rows: f32 (3*Cout, 8*W) stays ~1.6 MB
+
+
+def _pick_stripe(h: int, vmem_rows: int = 32):
+    """Stripe height: the largest multiple-of-8 divisor of h <= vmem_rows
+    (the stats sums require exact tiling — no padded rows). None if h has
+    no such divisor."""
+    for r in range(min(vmem_rows, h), 7, -8):
+        if h % r == 0 and r % 8 == 0:
+            return r
+    return None
+
+
+def tail_supported(shape: Tuple[int, ...]) -> bool:
+    """Whether the fused tail kernels can run on a (B, C, H, W) feature map:
+    H must split into equal multiple-of-8 stripes and W must fill whole
+    lane tiles (both hold for every nnU-Net 2d patch size, which are
+    divisible by 2**n_stages)."""
+    H, W = shape[-2], shape[-1]
+    return _pick_stripe(H) is not None and W % 128 == 0
+
+
+def _stack_conv_weights(w):
+    """(3, 3, Cin, Cout) -> (3*Cin, 3*Cout) stacked [(dy, cin), (dx, cout)]."""
+    ky, kx, cin, cout = w.shape
+    assert ky == 3 and kx == 3
+    return jnp.transpose(w, (0, 2, 1, 3)).reshape(3 * cin, 3 * cout)
+
+
+def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
+               interpret: bool = False):
+    """conv3x3(SAME, bias) over channel-major (B, Cin, H, W) input, with an
+    optional fused input prologue `leaky(x * s + t)` (s/t (B, Cin) fp32 — the
+    preceding InstanceNorm's apply). Returns (y (B, Cout, H, W) in x.dtype,
+    sum (B, Cout) f32, sumsq (B, Cout) f32) where the sums run over H*W of y.
+    w: (3, 3, Cin, Cout) f32 (flax nn.Conv layout); b: (Cout,) f32."""
+    B, Cin, H, W = x_cm.shape
+    Cout = w.shape[-1]
+    R = _pick_stripe(H)
+    assert R is not None and H % R == 0, (H, R)
+    n_stripes = H // R
+    if prologue is None:
+        s = jnp.ones((B, Cin), jnp.float32)
+        t = jnp.zeros((B, Cin), jnp.float32)
+        slope = None
+    else:
+        s, t = prologue
+        slope = leaky_slope
+    ws = _stack_conv_weights(w)
+    kern = functools.partial(_conv_kernel, slope, n_stripes)
+
+    # halo operands: the neighbor stripe's edge 8-row window (dim-2 block
+    # size 8 => block index units of 8 rows; R % 8 == 0 so the halo row sits
+    # at a fixed offset). Clamped at the boundary; the kernel masks it to
+    # the conv's zero padding.
+    r8 = R // 8
+    prev_spec = pl.BlockSpec(
+        (1, Cin, 8, W),
+        lambda bi, i: (bi, 0, jnp.maximum(i * r8 - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    next_spec = pl.BlockSpec(
+        (1, Cin, 8, W),
+        lambda bi, i: (bi, 0, jnp.minimum((i + 1) * r8, H // 8 - 1), 0),
+        memory_space=pltpu.VMEM)
+    y, ssum, ssq = pl.pallas_call(
+        kern,
+        grid=(B, n_stripes),
+        in_specs=[
+            pl.BlockSpec((1, Cin, R, W), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            prev_spec,
+            next_spec,
+            pl.BlockSpec((3 * Cin, 3 * Cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Cout, R, W), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Cout), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Cout), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Cout, H, W), x_cm.dtype),
+            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * Cin * Cout,
+            bytes_accessed=x_cm.dtype.itemsize * B * H * W * (Cin + Cout),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_cm, x_cm, x_cm, ws, b.reshape(1, Cout), s, t)
+    return y, jnp.sum(ssum, axis=(1, 2)), jnp.sum(ssq, axis=(1, 2))
+
+
+def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
+                interpret: bool = False):
+    """1x1 seg head over channel-major features with the fused
+    `leaky(x * s + t)` prologue. x_cm: (B, C, H, W); w: (C, K) f32;
+    b: (K,) f32. Returns fp32 logits (B, K, H, W)."""
+    B, C, H, W = x_cm.shape
+    K = w.shape[-1]
+    R = _pick_stripe(H)
+    assert R is not None and H % R == 0, (H, R)
+    n_stripes = H // R
+    s, t = prologue
+    kern = functools.partial(_seg_kernel, leaky_slope)
+    return pl.pallas_call(
+        kern,
+        grid=(B, n_stripes),
+        in_specs=[
+            pl.BlockSpec((1, C, R, W), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, K), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bi, i: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda bi, i: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, R, W), lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K, H, W), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * K,
+            bytes_accessed=x_cm.dtype.itemsize * B * H * W * C,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_cm, w, b.reshape(1, K), s, t)
+
+
+def instance_norm_apply_params(ssum, ssq, n, gamma, beta, eps=1e-5):
+    """Per-(sample, channel) InstanceNorm apply coefficients from the
+    accumulated sums: returns (s, t) with IN(x) = x * s + t.
+    ssum/ssq: (B, C) f32; n = H*W; gamma/beta: (C,) f32."""
+    mu = ssum / n
+    var = jnp.maximum(ssq / n - mu * mu, 0.0)
+    s = gamma[None, :] * jax.lax.rsqrt(var + eps)
+    return s, beta[None, :] - mu * s
+
+
+def decoder_tail_reference(up_skip_cm, w0, b0, g0, be0, w1, b1, g1, be1,
+                           wseg, bseg, eps=1e-5, slope=0.01):
+    """Pure-jnp reference of the fused tail (same rounding points), for tests.
+    up_skip_cm: (B, Cin, H, W) compute dtype."""
+    x = jnp.transpose(up_skip_cm, (0, 2, 3, 1))  # NHWC
+
+    def conv(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+    def in_leaky(y, g, be):
+        yf = y.astype(jnp.float32)
+        mu = yf.mean((1, 2), keepdims=True)
+        var = jnp.maximum((yf * yf).mean((1, 2), keepdims=True) - mu * mu, 0.0)
+        z = (yf - mu) * jax.lax.rsqrt(var + eps) * g + be
+        return jnp.where(z >= 0, z, z * slope)
+
+    y0 = conv(x, w0, b0)
+    z0 = in_leaky(y0, g0, be0).astype(x.dtype)
+    y1 = conv(z0, w1, b1)
+    z1 = in_leaky(y1, g1, be1).astype(x.dtype)
+    logits = jnp.einsum("bhwc,ck->bhwk", z1.astype(jnp.float32),
+                        wseg) + bseg
+    return jnp.transpose(logits, (0, 3, 1, 2))
+
+
+def decoder_tail_cm(up_skip_cm, w0, b0, g0, be0, w1, b1, g1, be1, wseg, bseg,
+                    eps=1e-5, slope=0.01, interpret: bool = False):
+    """The full fused tail over a channel-major (B, Cin, H, W) input (the
+    concatenated transpconv+skip features): conv0 -> IN -> leaky -> conv1 ->
+    IN -> leaky -> 1x1 seg. Returns fp32 logits (B, K, H, W)."""
+    n = up_skip_cm.shape[2] * up_skip_cm.shape[3]
+    y0, s0, q0 = conv3x3_cm(up_skip_cm, w0, b0, interpret=interpret)
+    p0 = instance_norm_apply_params(s0, q0, n, g0, be0, eps)
+    y1, s1, q1 = conv3x3_cm(y0, w1, b1, prologue=p0, leaky_slope=slope,
+                            interpret=interpret)
+    p1 = instance_norm_apply_params(s1, q1, n, g1, be1, eps)
+    return seg_head_cm(y1, wseg, bseg, p1, leaky_slope=slope,
+                       interpret=interpret)

@@ -1,0 +1,184 @@
+"""Fused high-res decoder tail kernels (ops/decoder_tail_pallas.py) in
+interpreter mode on CPU: kernel parity vs the pure-jnp reference, and the
+UNetDecoder integration vs the plain flax path (shared checkpoints)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _rand(rng, shape, dtype=jnp.bfloat16, scale=1.0):
+    return jnp.asarray(rng.normal(size=shape) * scale, dtype)
+
+
+class TestKernels:
+    @pytest.mark.parametrize("shape,cout", [((2, 16, 32, 128), 8),
+                                            ((1, 8, 24, 256), 16)])
+    def test_conv3x3_matches_lax_conv(self, rng, shape, cout):
+        from dinounet_tpu.ops.decoder_tail_pallas import conv3x3_cm
+
+        B, Cin, H, W = shape
+        x = _rand(rng, shape)
+        w = _rand(rng, (3, 3, Cin, cout), jnp.float32, 0.1)
+        b = _rand(rng, (cout,), jnp.float32, 0.1)
+        y, ssum, ssq = conv3x3_cm(x, w, b, interpret=True)
+
+        ref = jax.lax.conv_general_dilated(
+            jnp.transpose(x, (0, 2, 3, 1)), w.astype(x.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) + b
+        ref = jnp.transpose(ref, (0, 3, 1, 2)).astype(x.dtype)
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=0.02, rtol=0.02)
+        yf = np.asarray(y, np.float32)
+        np.testing.assert_allclose(np.asarray(ssum), yf.sum((2, 3)),
+                                   rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(ssq), (yf * yf).sum((2, 3)),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_conv3x3_prologue(self, rng):
+        """The fused leaky(x*s + t) input prologue must match applying it
+        explicitly before a raw conv."""
+        from dinounet_tpu.ops.decoder_tail_pallas import conv3x3_cm
+
+        B, Cin, H, W, cout = 1, 8, 16, 128, 8
+        x = _rand(rng, (B, Cin, H, W))
+        w = _rand(rng, (3, 3, Cin, cout), jnp.float32, 0.1)
+        b = jnp.zeros((cout,), jnp.float32)
+        s = jnp.asarray(rng.normal(size=(B, Cin)) * 0.2 + 1, jnp.float32)
+        t = jnp.asarray(rng.normal(size=(B, Cin)) * 0.1, jnp.float32)
+
+        got, _, _ = conv3x3_cm(x, w, b, prologue=(s, t), leaky_slope=0.01,
+                               interpret=True)
+        xf = x.astype(jnp.float32) * s[:, :, None, None] + t[:, :, None, None]
+        xp = jnp.where(xf >= 0, xf, xf * 0.01).astype(x.dtype)
+        want, _, _ = conv3x3_cm(xp, w, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=0.03, rtol=0.02)
+
+    def test_full_tail_matches_reference(self, rng):
+        from dinounet_tpu.ops.decoder_tail_pallas import (
+            decoder_tail_cm, decoder_tail_reference)
+
+        B, Cin, H, W, C, K = 2, 16, 32, 128, 8, 3
+        x = _rand(rng, (B, Cin, H, W))
+        args = (
+            _rand(rng, (3, 3, Cin, C), jnp.float32, 0.1),
+            _rand(rng, (C,), jnp.float32, 0.1),
+            _rand(rng, (C,), jnp.float32, 0.2) + 1.0,
+            _rand(rng, (C,), jnp.float32, 0.1),
+            _rand(rng, (3, 3, C, C), jnp.float32, 0.1),
+            _rand(rng, (C,), jnp.float32, 0.1),
+            _rand(rng, (C,), jnp.float32, 0.2) + 1.0,
+            _rand(rng, (C,), jnp.float32, 0.1),
+            _rand(rng, (C, K), jnp.float32, 0.1),
+            _rand(rng, (K,), jnp.float32, 0.1),
+        )
+        got = decoder_tail_cm(x, *args, interpret=True)
+        want = decoder_tail_reference(x, *args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0.06, rtol=0.03)
+
+    def test_tail_supported(self):
+        from dinounet_tpu.ops.decoder_tail_pallas import tail_supported
+
+        assert tail_supported((8, 64, 512, 512))
+        assert tail_supported((8, 64, 128, 128))
+        assert not tail_supported((8, 64, 100, 512))  # H has no 8k divisor
+        assert not tail_supported((8, 64, 512, 96))   # W not a lane multiple
+
+
+class TestDecoderIntegration:
+    def _decoder(self, deep_supervision=False):
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        return UNetDecoder(
+            encoder_channels=[8, 16, 32],
+            encoder_strides=[(2, 2), (2, 2), (2, 2)],
+            encoder_kernel_sizes=[(3, 3), (3, 3), (3, 3)],
+            num_classes=3,
+            n_conv_per_stage=[2, 2],
+            deep_supervision=deep_supervision,
+        )
+
+    def _skips(self, rng):
+        return [
+            _rand(rng, (2, 128, 128, 8)),
+            _rand(rng, (2, 64, 64, 16)),
+            _rand(rng, (2, 32, 32, 32)),
+        ]
+
+    def test_fused_matches_plain(self, rng, monkeypatch):
+        dec = self._decoder()
+        skips = self._skips(rng)
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        v1 = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v1, skips)
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
+        v2 = dec.init(jax.random.PRNGKey(0), skips)
+        import jax.tree_util as jtu
+        p1 = {jtu.keystr(k): (a.shape, np.asarray(a, np.float32).sum())
+              for k, a in jtu.tree_leaves_with_path(v1)}
+        p2 = {jtu.keystr(k): (a.shape, np.asarray(a, np.float32).sum())
+              for k, a in jtu.tree_leaves_with_path(v2)}
+        assert p1 == p2  # identical trees AND identical init values
+
+        got = dec.apply(v1, skips)
+        assert got.dtype == ref.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=0.08, rtol=0.04)
+
+    def test_deep_supervision_heads_unchanged(self, rng, monkeypatch):
+        """With DS on, only the top head goes through the fused tail; the
+        lower-resolution heads are bit-identical to the plain path."""
+        dec = self._decoder(deep_supervision=True)
+        skips = self._skips(rng)
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        v = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v, skips)
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
+        got = dec.apply(v, skips)
+        assert len(got) == len(ref) == 2
+        for r, g in zip(ref[1:], got[1:]):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   atol=0.08, rtol=0.04)
+
+    def test_train_path_unchanged(self, rng, monkeypatch):
+        dec = self._decoder()
+        skips = self._skips(rng)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        v = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v, skips, train=True)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
+        got = dec.apply(v, skips, train=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_unsupported_shape_falls_back(self, rng, monkeypatch):
+        """W = 96 is not a lane multiple: the fused gate must decline and the
+        plain path must run."""
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        dec = UNetDecoder(
+            encoder_channels=[8, 16],
+            encoder_strides=[(2, 2), (2, 2)],
+            encoder_kernel_sizes=[(3, 3), (3, 3)],
+            num_classes=2,
+            n_conv_per_stage=[2],
+        )
+        skips = [_rand(rng, (1, 96, 96, 8)), _rand(rng, (1, 48, 48, 16))]
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
+        out = dec.apply(dec.init(jax.random.PRNGKey(0), skips), skips)
+        assert out.shape == (1, 96, 96, 2)
