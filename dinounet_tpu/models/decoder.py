@@ -83,6 +83,34 @@ class _StageParams(nn.Module):
         return p0, p1
 
 
+class _TranspInner(nn.Module):
+    """nn.ConvTranspose-identical param tree (kernel (2, 2, Cin, Cout) + bias)."""
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", conv_kaiming_init,
+                       (2, 2, in_features, self.features), jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+        else:
+            b = jnp.zeros((self.features,), jnp.float32)
+        return k, b
+
+
+class _TranspParams(nn.Module):
+    """Mirrors layers.TransposedConv -> nn.ConvTranspose(name='transpconv')."""
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _TranspInner(self.features, self.use_bias,
+                            name="transpconv")(in_features)
+
+
 class _SegParams(nn.Module):
     """SegHead-identical param tree (kernel (1,..,1,C,K) + bias)."""
     num_classes: int
@@ -155,14 +183,15 @@ class UNetDecoder(nn.Module):
         for s in range(1, n_stages):
             skip_ch = self.encoder_channels[-(s + 1)]
             stride = tuple(self.encoder_strides[-s])
+            skip = skips[-(s + 1)]
+            if self._use_fused_tail(s, n_stages, stride, skip, train):
+                seg_outputs.append(self._fused_tail(s, skip_ch, lres, skip))
+                break
             x = TransposedConv(
                 skip_ch, stride, use_bias=self.conv_bias, dtype=self.dtype,
                 name=f"transpconv{s - 1}",
             )(lres)
-            x = jnp.concatenate([x, skips[-(s + 1)]], axis=-1)
-            if self._use_fused_tail(s, n_stages, stride, x, train):
-                seg_outputs.append(self._fused_tail(s, skip_ch, x))
-                break
+            x = jnp.concatenate([x, skip], axis=-1)
             x = StackedConvBlocks(
                 n_convs=self.n_conv_per_stage[s - 1], features=skip_ch,
                 kernel_size=tuple(self.encoder_kernel_sizes[-(s + 1)]),
@@ -187,13 +216,14 @@ class UNetDecoder(nn.Module):
             return seg_outputs
         return seg_outputs[0]
 
-    def _use_fused_tail(self, s, n_stages, stride, x, train) -> bool:
+    def _use_fused_tail(self, s, n_stages, stride, skip, train) -> bool:
         """The fused channel-major tail (ops/decoder_tail_pallas.py) replaces
-        the final stage's StackedConvBlocks + seg head at inference: XLA runs
-        these full-resolution low-channel convs at ~12% MFU (sub-128 output
-        channels), the Pallas chain at M=3*Cout matmul shapes. Inference-only:
-        training keeps the plain flax graph (and its XLA backward)."""
-        if train or s != n_stages - 1 or len(stride) != 2:
+        the final stage's transpconv + StackedConvBlocks + seg head at
+        inference: XLA runs these full-resolution low-channel convs at ~12%
+        MFU (sub-128 output channels), the Pallas chain at M=3*Cout /
+        M=4*Cout matmul shapes. Inference-only: training keeps the plain
+        flax graph (and its XLA backward)."""
+        if train or s != n_stages - 1 or tuple(stride) != (2, 2):
             return False
         if self.n_conv_per_stage[s - 1] != 2:
             return False
@@ -202,28 +232,43 @@ class UNetDecoder(nn.Module):
         if self.norm != "instancenorm" or self.nonlin != "leaky_relu":
             return False
         from dinounet_tpu.configuration import use_fused_decoder_tail
-        from dinounet_tpu.ops.decoder_tail_pallas import tail_supported
+        from dinounet_tpu.ops.decoder_tail_pallas import (_pick_stripe,
+                                                          tail_supported)
 
-        return use_fused_decoder_tail() and tail_supported(
-            (x.shape[0], x.shape[3], x.shape[1], x.shape[2]))
+        H, W = skip.shape[1], skip.shape[2]
+        return (use_fused_decoder_tail()
+                and tail_supported((skip.shape[0], skip.shape[3], H, W))
+                and H % 2 == 0 and W % 2 == 0
+                and _pick_stripe(H // 2, vmem_rows=16) is not None)
 
-    def _fused_tail(self, s, skip_ch, x):
-        """Run the final stage through the fused kernels. Declares param
-        trees identical to the flax modules it replaces (stage{s-1}/conv{i}/
+    def _fused_tail(self, s, skip_ch, lres, skip):
+        """Run the final stage through the fused kernels: channel-major
+        transpconv on the low-res stream, then conv0 -> IN -> leaky ->
+        conv1 -> IN -> leaky -> seg. Declares param trees identical to the
+        flax modules it replaces (transpconv{s-1}, stage{s-1}/conv{i}/
         {conv,norm/norm}, seg{s-1}) so both paths share checkpoints."""
         from dinounet_tpu.configuration import decoder_tail_impl
-        from dinounet_tpu.ops.decoder_tail_pallas import decoder_tail_cm
+        from dinounet_tpu.ops.decoder_tail_pallas import (decoder_tail_cm,
+                                                          transpconv2x2_cm)
+
+        interp = decoder_tail_impl() == "interpret"
+        kt, bt = _TranspParams(skip_ch, self.conv_bias,
+                               name=f"transpconv{s - 1}")(lres.shape[-1])
+        up_cm = transpconv2x2_cm(
+            jnp.transpose(lres, (0, 3, 1, 2)), kt, bt, interpret=interp)
+        x_cm = jnp.concatenate(
+            [up_cm, jnp.transpose(skip, (0, 3, 1, 2))], axis=1)
 
         ks = tuple(self.encoder_kernel_sizes[-(s + 1)])
         p0, p1 = _StageParams(skip_ch, ks, self.conv_bias,
-                              name=f"stage{s - 1}")(x.shape[-1])
+                              name=f"stage{s - 1}")(x_cm.shape[1])
         kseg, bseg = _SegParams(self.num_classes, rank=2,
                                 name=f"seg{s - 1}")(skip_ch)
         nk = self.norm_kwargs or {}
         nlk = self.nonlin_kwargs or {}
         logits_cm = decoder_tail_cm(
-            jnp.transpose(x, (0, 3, 1, 2)), *p0, *p1, kseg, bseg,
+            x_cm, *p0, *p1, kseg, bseg,
             eps=nk.get("eps", 1e-5),
             slope=nlk.get("negative_slope", 0.01),
-            interpret=decoder_tail_impl() == "interpret")
+            interpret=interp)
         return jnp.transpose(logits_cm, (0, 2, 3, 1))

@@ -286,6 +286,66 @@ def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
     )(x_cm, w, b.reshape(1, K), s, t)
 
 
+def _transpconv_kernel(x_ref, w_ref, b_ref, o_ref):
+    """One (batch, stripe) program of a kernel=stride=2 transposed conv in
+    channel-major layout. x: (1, Cin, R, W); w: (Cin, 4*Cout) stacked
+    [(cin), (p, q, cout)]; b: (1, Cout); o: (1, Cout, 2R, 2W).
+
+    k2s2 transpconv = four phase matmuls (one full-MXU M=4*Cout dot) +
+    spatial interleave: out[c, 2j+p, 2x+q] = ph[(p, q, c), j, x] + b."""
+    Cin, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    Cout = o_ref.shape[1]
+    cdt = o_ref.dtype
+    ph = jax.lax.dot_general(
+        w_ref[...].astype(x_ref.dtype), x_ref[0].reshape(Cin, R * W),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(2, 2, Cout, R, W) + b_ref[...].astype(jnp.float32).reshape(
+        1, 1, Cout, 1, 1)
+    ph = ph.astype(cdt)
+    # lane interleave (q): (..., W, 2) -> (..., 2W); then row interleave (p)
+    rows = []
+    for p in range(2):
+        wide = jnp.stack([ph[p, 0], ph[p, 1]], axis=-1).reshape(Cout, R, 2 * W)
+        rows.append(wide)
+    o_ref[0] = jnp.stack(rows, axis=2).reshape(Cout, 2 * R, 2 * W)
+
+
+def transpconv2x2_cm(x_cm, w, b, interpret: bool = False):
+    """ConvTranspose(kernel=2, stride=2) over channel-major (B, Cin, H, W):
+    returns (B, Cout, 2H, 2W) in x.dtype. w: (2, 2, Cin, Cout) f32 (flax
+    nn.ConvTranspose layout); b: (Cout,) f32 (pass zeros when bias-free)."""
+    B, Cin, H, W = x_cm.shape
+    Cout = w.shape[-1]
+    R = _pick_stripe(H, vmem_rows=16)
+    assert R is not None and H % R == 0, (H, R)
+    n_stripes = H // R
+    # lax.conv_transpose flips the kernel spatially: out phase (p, q) reads
+    # K[1-p, 1-q] (verified against flax TransposedConv with a delta input)
+    ws = jnp.transpose(w[::-1, ::-1], (2, 0, 1, 3)).reshape(Cin, 4 * Cout)
+    return pl.pallas_call(
+        _transpconv_kernel,
+        grid=(B, n_stripes),
+        in_specs=[
+            pl.BlockSpec((1, Cin, R, W), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cin, 4 * Cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Cout, 2 * R, 2 * W),
+                               lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Cout, 2 * H, 2 * W), x_cm.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 4 * Cin * Cout,
+            bytes_accessed=x_cm.dtype.itemsize * B * H * W * (Cin + 4 * Cout),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_cm, ws, b.reshape(1, Cout))
+
+
 def instance_norm_apply_params(ssum, ssq, n, gamma, beta, eps=1e-5):
     """Per-(sample, channel) InstanceNorm apply coefficients from the
     accumulated sums: returns (s, t) with IN(x) = x * s + t.

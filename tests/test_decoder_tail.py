@@ -87,6 +87,25 @@ class TestKernels:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=0.06, rtol=0.03)
 
+    def test_transpconv2x2_matches_flax(self, rng):
+        from dinounet_tpu.models.layers import TransposedConv
+        from dinounet_tpu.ops.decoder_tail_pallas import transpconv2x2_cm
+
+        B, Cin, H, W, Cout = 2, 16, 32, 128, 8
+        x = _rand(rng, (B, H, W, Cin))
+        mod = TransposedConv(Cout, (2, 2))
+        v = mod.init(jax.random.PRNGKey(0), x)
+        ref = mod.apply(v, x)  # (B, 2H, 2W, Cout)
+
+        k = v["params"]["transpconv"]["kernel"].astype(jnp.float32)
+        b = v["params"]["transpconv"]["bias"].astype(jnp.float32)
+        got = transpconv2x2_cm(jnp.transpose(x, (0, 3, 1, 2)), k, b,
+                               interpret=True)
+        got = jnp.transpose(got, (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=0.02, rtol=0.02)
+
     def test_tail_supported(self):
         from dinounet_tpu.ops.decoder_tail_pallas import tail_supported
 
