@@ -184,8 +184,8 @@ class UNetDecoder(nn.Module):
             skip_ch = self.encoder_channels[-(s + 1)]
             stride = tuple(self.encoder_strides[-s])
             skip = skips[-(s + 1)]
-            if self._use_fused_tail(s, n_stages, stride, skip, train):
-                seg_outputs.append(self._fused_tail(s, skip_ch, lres, skip))
+            if self._use_fused_chain(s, n_stages, skips, train):
+                seg_outputs.extend(self._fused_chain(s, n_stages, lres, skips))
                 break
             x = TransposedConv(
                 skip_ch, stride, use_bias=self.conv_bias, dtype=self.dtype,
@@ -216,59 +216,74 @@ class UNetDecoder(nn.Module):
             return seg_outputs
         return seg_outputs[0]
 
-    def _use_fused_tail(self, s, n_stages, stride, skip, train) -> bool:
-        """The fused channel-major tail (ops/decoder_tail_pallas.py) replaces
-        the final stage's transpconv + StackedConvBlocks + seg head at
-        inference: XLA runs these full-resolution low-channel convs at ~12%
-        MFU (sub-128 output channels), the Pallas chain at M=3*Cout /
-        M=4*Cout matmul shapes. Inference-only: training keeps the plain
-        flax graph (and its XLA backward)."""
-        if train or s != n_stages - 1 or tuple(stride) != (2, 2):
-            return False
-        if self.n_conv_per_stage[s - 1] != 2:
-            return False
-        if tuple(self.encoder_kernel_sizes[-(s + 1)]) != (3, 3):
-            return False
-        if self.norm != "instancenorm" or self.nonlin != "leaky_relu":
+    def _use_fused_chain(self, s, n_stages, skips, train) -> bool:
+        """The fused channel-major chain (ops/decoder_tail_pallas.py)
+        replaces all remaining stages' transpconv + StackedConvBlocks + seg
+        heads at inference when every one of them is eligible: XLA runs
+        these high-resolution low-channel convs at ~12% MFU (sub-128 output
+        channels), the Pallas chain at M=3*Cout / M=4*Cout matmul shapes
+        with the InstanceNorm applies fused into the next kernel's prologue.
+        Inference-only: training keeps the plain flax graph (and its XLA
+        backward)."""
+        if train or self.norm != "instancenorm" or self.nonlin != "leaky_relu":
             return False
         from dinounet_tpu.configuration import use_fused_decoder_tail
+
+        if not use_fused_decoder_tail():
+            return False
         from dinounet_tpu.ops.decoder_tail_pallas import (_pick_stripe,
                                                           tail_supported)
 
-        H, W = skip.shape[1], skip.shape[2]
-        return (use_fused_decoder_tail()
-                and tail_supported((skip.shape[0], skip.shape[3], H, W))
-                and H % 2 == 0 and W % 2 == 0
-                and _pick_stripe(H // 2, vmem_rows=16) is not None)
+        for j in range(s, n_stages):
+            if tuple(self.encoder_strides[-j]) != (2, 2):
+                return False
+            if self.n_conv_per_stage[j - 1] != 2:
+                return False
+            if tuple(self.encoder_kernel_sizes[-(j + 1)]) != (3, 3):
+                return False
+            skip = skips[-(j + 1)]
+            if len(skip.shape) != 4:
+                return False
+            H, W = skip.shape[1], skip.shape[2]
+            if not tail_supported((skip.shape[0], skip.shape[3], H, W)):
+                return False
+            if H % 2 or W % 2 or _pick_stripe(H // 2, vmem_rows=16) is None:
+                return False
+        return True
 
-    def _fused_tail(self, s, skip_ch, lres, skip):
-        """Run the final stage through the fused kernels: channel-major
-        transpconv on the low-res stream, then conv0 -> IN -> leaky ->
-        conv1 -> IN -> leaky -> seg. Declares param trees identical to the
-        flax modules it replaces (transpconv{s-1}, stage{s-1}/conv{i}/
-        {conv,norm/norm}, seg{s-1}) so both paths share checkpoints."""
+    def _fused_chain(self, s, n_stages, lres, skips):
+        """Run stages s..n_stages-1 through the fused channel-major chain.
+        Declares param trees identical to the flax modules it replaces
+        (transpconv{j-1}, stage{j-1}/conv{i}/{conv,norm/norm}, seg{j-1}) so
+        both paths share checkpoints. Returns one entry per stage in
+        decoding order: NHWC fp32 logits where a head is computed (all
+        stages under deep supervision, else the last), None elsewhere."""
         from dinounet_tpu.configuration import decoder_tail_impl
-        from dinounet_tpu.ops.decoder_tail_pallas import (decoder_tail_cm,
-                                                          transpconv2x2_cm)
+        from dinounet_tpu.ops.decoder_tail_pallas import decoder_chain_cm
 
         interp = decoder_tail_impl() == "interpret"
-        kt, bt = _TranspParams(skip_ch, self.conv_bias,
-                               name=f"transpconv{s - 1}")(lres.shape[-1])
-        up_cm = transpconv2x2_cm(
-            jnp.transpose(lres, (0, 3, 1, 2)), kt, bt, interpret=interp)
-        x_cm = jnp.concatenate(
-            [up_cm, jnp.transpose(skip, (0, 3, 1, 2))], axis=1)
+        stage_params, seg_params, skips_cm = [], [], []
+        cin = lres.shape[-1]
+        for j in range(s, n_stages):
+            skip_ch = self.encoder_channels[-(j + 1)]
+            ks = tuple(self.encoder_kernel_sizes[-(j + 1)])
+            kt, bt = _TranspParams(skip_ch, self.conv_bias,
+                                   name=f"transpconv{j - 1}")(cin)
+            p0, p1 = _StageParams(skip_ch, ks, self.conv_bias,
+                                  name=f"stage{j - 1}")(2 * skip_ch)
+            seg_params.append(_SegParams(self.num_classes, rank=2,
+                                         name=f"seg{j - 1}")(skip_ch))
+            stage_params.append((kt, bt, *p0, *p1))
+            skips_cm.append(jnp.transpose(skips[-(j + 1)], (0, 3, 1, 2)))
+            cin = skip_ch
 
-        ks = tuple(self.encoder_kernel_sizes[-(s + 1)])
-        p0, p1 = _StageParams(skip_ch, ks, self.conv_bias,
-                              name=f"stage{s - 1}")(x_cm.shape[1])
-        kseg, bseg = _SegParams(self.num_classes, rank=2,
-                                name=f"seg{s - 1}")(skip_ch)
         nk = self.norm_kwargs or {}
         nlk = self.nonlin_kwargs or {}
-        logits_cm = decoder_tail_cm(
-            x_cm, *p0, *p1, kseg, bseg,
+        outs = decoder_chain_cm(
+            jnp.transpose(lres, (0, 3, 1, 2)), skips_cm, stage_params,
+            seg_params, self.deep_supervision,
             eps=nk.get("eps", 1e-5),
             slope=nlk.get("negative_slope", 0.01),
             interpret=interp)
-        return jnp.transpose(logits_cm, (0, 2, 3, 1))
+        return [o if o is None else jnp.transpose(o, (0, 2, 3, 1))
+                for o in outs]

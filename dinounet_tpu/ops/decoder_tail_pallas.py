@@ -286,18 +286,26 @@ def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
     )(x_cm, w, b.reshape(1, K), s, t)
 
 
-def _transpconv_kernel(x_ref, w_ref, b_ref, o_ref):
+def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     """One (batch, stripe) program of a kernel=stride=2 transposed conv in
-    channel-major layout. x: (1, Cin, R, W); w: (Cin, 4*Cout) stacked
-    [(cin), (p, q, cout)]; b: (1, Cout); o: (1, Cout, 2R, 2W).
+    channel-major layout, with an optional `leaky(x*s + t)` input prologue
+    (the previous InstanceNorm's apply — lets CM decoder stages chain
+    without materializing the activated map). x: (1, Cin, R, W); w:
+    (Cin, 4*Cout) stacked [(cin), (p, q, cout)]; b: (1, Cout); s/t:
+    (1, Cin); o: (1, Cout, 2R, 2W).
 
     k2s2 transpconv = four phase matmuls (one full-MXU M=4*Cout dot) +
     spatial interleave: out[c, 2j+p, 2x+q] = ph[(p, q, c), j, x] + b."""
     Cin, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     Cout = o_ref.shape[1]
     cdt = o_ref.dtype
+    x = x_ref[0]
+    if leaky_slope is not None:
+        xf = x.astype(jnp.float32) * s_ref[0][:, None, None] \
+            + t_ref[0][:, None, None]
+        x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
     ph = jax.lax.dot_general(
-        w_ref[...].astype(x_ref.dtype), x_ref[0].reshape(Cin, R * W),
+        w_ref[...].astype(x_ref.dtype), x.reshape(Cin, R * W),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).reshape(2, 2, Cout, R, W) + b_ref[...].astype(jnp.float32).reshape(
         1, 1, Cout, 1, 1)
@@ -310,20 +318,30 @@ def _transpconv_kernel(x_ref, w_ref, b_ref, o_ref):
     o_ref[0] = jnp.stack(rows, axis=2).reshape(Cout, 2 * R, 2 * W)
 
 
-def transpconv2x2_cm(x_cm, w, b, interpret: bool = False):
-    """ConvTranspose(kernel=2, stride=2) over channel-major (B, Cin, H, W):
-    returns (B, Cout, 2H, 2W) in x.dtype. w: (2, 2, Cin, Cout) f32 (flax
-    nn.ConvTranspose layout); b: (Cout,) f32 (pass zeros when bias-free)."""
+def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
+                     interpret: bool = False):
+    """ConvTranspose(kernel=2, stride=2) over channel-major (B, Cin, H, W),
+    with an optional fused `leaky(x*s + t)` input prologue (s/t (B, Cin)
+    f32 — the preceding InstanceNorm's apply): returns (B, Cout, 2H, 2W) in
+    x.dtype. w: (2, 2, Cin, Cout) f32 (flax nn.ConvTranspose layout);
+    b: (Cout,) f32 (pass zeros when bias-free)."""
     B, Cin, H, W = x_cm.shape
     Cout = w.shape[-1]
     R = _pick_stripe(H, vmem_rows=16)
     assert R is not None and H % R == 0, (H, R)
     n_stripes = H // R
+    if prologue is None:
+        s = jnp.ones((B, Cin), jnp.float32)
+        t = jnp.zeros((B, Cin), jnp.float32)
+        slope = None
+    else:
+        s, t = prologue
+        slope = leaky_slope
     # lax.conv_transpose flips the kernel spatially: out phase (p, q) reads
     # K[1-p, 1-q] (verified against flax TransposedConv with a delta input)
     ws = jnp.transpose(w[::-1, ::-1], (2, 0, 1, 3)).reshape(Cin, 4 * Cout)
     return pl.pallas_call(
-        _transpconv_kernel,
+        functools.partial(_transpconv_kernel, slope),
         grid=(B, n_stripes),
         in_specs=[
             pl.BlockSpec((1, Cin, R, W), lambda bi, i: (bi, 0, i, 0),
@@ -331,6 +349,10 @@ def transpconv2x2_cm(x_cm, w, b, interpret: bool = False):
             pl.BlockSpec((Cin, 4 * Cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Cout, 2 * R, 2 * W),
@@ -343,7 +365,7 @@ def transpconv2x2_cm(x_cm, w, b, interpret: bool = False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, ws, b.reshape(1, Cout))
+    )(x_cm, ws, b.reshape(1, Cout), s, t)
 
 
 def instance_norm_apply_params(ssum, ssq, n, gamma, beta, eps=1e-5):
@@ -383,6 +405,47 @@ def decoder_tail_reference(up_skip_cm, w0, b0, g0, be0, w1, b1, g1, be1,
     logits = jnp.einsum("bhwc,ck->bhwk", z1.astype(jnp.float32),
                         wseg) + bseg
     return jnp.transpose(logits, (0, 3, 1, 2))
+
+
+def decoder_chain_cm(lres_cm, skips_cm, stage_params, seg_params,
+                     deep_supervision: bool, eps=1e-5, slope=0.01,
+                     interpret: bool = False):
+    """Run consecutive decoder stages entirely channel-major: per stage,
+    transpconv(leaky(IN(x))) -> concat(skip) -> conv0 -> IN -> leaky ->
+    conv1 -> IN-stats, with each InstanceNorm apply fused into the next
+    kernel's input prologue — the activated feature map is never
+    materialized between stages.
+
+    lres_cm: (B, C, h, w) lowest-res stream (raw — the first transpconv has
+    no pending norm); skips_cm: per-stage CM skip tensors (decoding order);
+    stage_params: per-stage (kt, bt, w0, b0, g0, be0, w1, b1, g1, be1);
+    seg_params: per-stage (wseg (C, K), bseg (K,)). Returns a list with one
+    entry per stage (decoding order): fp32 logits (B, K, H, W) where a seg
+    head is computed (all stages under deep supervision, else the last
+    only), None elsewhere."""
+    x = lres_cm
+    prologue = None
+    outs = []
+    n_stages = len(stage_params)
+    for i, ((kt, bt, w0, b0, g0, be0, w1, b1, g1, be1), skip_cm) in enumerate(
+            zip(stage_params, skips_cm)):
+        up = transpconv2x2_cm(x, kt, bt, prologue=prologue, leaky_slope=slope,
+                              interpret=interpret)
+        xx = jnp.concatenate([up, skip_cm], axis=1)
+        n = xx.shape[2] * xx.shape[3]
+        y0, s0, q0 = conv3x3_cm(xx, w0, b0, interpret=interpret)
+        p0 = instance_norm_apply_params(s0, q0, n, g0, be0, eps)
+        y1, s1, q1 = conv3x3_cm(y0, w1, b1, prologue=p0, leaky_slope=slope,
+                                interpret=interpret)
+        prologue = instance_norm_apply_params(s1, q1, n, g1, be1, eps)
+        if deep_supervision or i == n_stages - 1:
+            wseg, bseg = seg_params[i]
+            outs.append(seg_head_cm(y1, wseg, bseg, prologue,
+                                    leaky_slope=slope, interpret=interpret))
+        else:
+            outs.append(None)
+        x = y1
+    return outs
 
 
 def decoder_tail_cm(up_skip_cm, w0, b0, g0, be0, w1, b1, g1, be1, wseg, bseg,

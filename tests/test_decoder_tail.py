@@ -175,6 +175,47 @@ class TestDecoderIntegration:
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                    atol=0.08, rtol=0.04)
 
+    def test_full_chain_matches_plain(self, rng, monkeypatch):
+        """When every stage is eligible (all skips >= 128 lanes) the whole
+        decoder runs channel-major; outputs must match the plain path, with
+        identical param trees, in both DS modes."""
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        for ds in (False, True):
+            dec = UNetDecoder(
+                encoder_channels=[8, 16, 32],
+                encoder_strides=[(2, 2), (2, 2), (2, 2)],
+                encoder_kernel_sizes=[(3, 3), (3, 3), (3, 3)],
+                num_classes=3,
+                n_conv_per_stage=[2, 2],
+                deep_supervision=ds,
+            )
+            skips = [
+                _rand(rng, (2, 256, 256, 8)),
+                _rand(rng, (2, 128, 128, 16)),
+                _rand(rng, (2, 64, 64, 32)),
+            ]
+            monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+            v1 = dec.init(jax.random.PRNGKey(0), skips)
+            ref = dec.apply(v1, skips)
+
+            monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
+            v2 = dec.init(jax.random.PRNGKey(0), skips)
+            import jax.tree_util as jtu
+            p1 = {jtu.keystr(k): a.shape
+                  for k, a in jtu.tree_leaves_with_path(v1)}
+            p2 = {jtu.keystr(k): a.shape
+                  for k, a in jtu.tree_leaves_with_path(v2)}
+            assert p1 == p2
+
+            got = dec.apply(v1, skips)
+            ref_list = ref if ds else [ref]
+            got_list = got if ds else [got]
+            assert len(got_list) == len(ref_list)
+            for r, g in zip(ref_list, got_list):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                           atol=0.15, rtol=0.05)
+
     def test_train_path_unchanged(self, rng, monkeypatch):
         dec = self._decoder()
         skips = self._skips(rng)
