@@ -243,9 +243,14 @@ class Attention(nn.Module):
         cdt = jnp.dtype(cfg.dtype)
 
         from dinounet_tpu.configuration import (
-            use_fused_attention, vit_int8)
+            use_fused_attention, use_fused_dense, vit_int8)
 
-        if use_fused_attention() and not vit_int8():
+        if use_fused_attention() and use_fused_dense() and not vit_int8():
+            # (requires the fused dense path: ~60% of the premapped win is
+            # relayout cost that only pays off when the channel-major fused
+            # projection consumes the kernel output — and keeping the two
+            # knobs independent keeps DINOUNET_TPU_DENSE_IMPL=jax a clean
+            # A/B of the dense kernels alone)
             # Premapped fast path: the QKV projection emits the kernel's
             # per-head (B, 3, M, N, Dh) layout directly (the transposed write
             # folds into the matmul — the premapped-MSDA trick), the Pallas

@@ -69,6 +69,11 @@ class nnUNetDataLoader:
         self._data = data
         self.batch_size = batch_size
         if len(patch_size) == 2:
+            # NOTE: the reference's 2-D branch overwrites final_patch_size
+            # with patch_size (ref data_loader.py:38-40), making need_to_pad
+            # zero for 2-D — unlike its legacy 2-D loader, which keeps the
+            # enlarged sampling patch. Kept byte-faithful to the reference
+            # (this loader is its dormant new-style surface).
             final_patch_size = (1, *patch_size)
             patch_size = (1, *patch_size)
             self.patch_size_was_2d = True
