@@ -83,32 +83,7 @@ class _StageParams(nn.Module):
         return p0, p1
 
 
-class _TranspInner(nn.Module):
-    """nn.ConvTranspose-identical param tree (kernel (2, 2, Cin, Cout) + bias)."""
-    features: int
-    use_bias: bool
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        k = self.param("kernel", conv_kaiming_init,
-                       (2, 2, in_features, self.features), jnp.float32)
-        if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,),
-                           jnp.float32)
-        else:
-            b = jnp.zeros((self.features,), jnp.float32)
-        return k, b
-
-
-class _TranspParams(nn.Module):
-    """Mirrors layers.TransposedConv -> nn.ConvTranspose(name='transpconv')."""
-    features: int
-    use_bias: bool
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        return _TranspInner(self.features, self.use_bias,
-                            name="transpconv")(in_features)
+from dinounet_tpu.models.layers import TransposedConvParams as _TranspParams
 
 
 class _SegParams(nn.Module):

@@ -101,6 +101,7 @@ class FAPMEncoder(nn.Module):
         for i, y in enumerate(ys):
             target = (H // (2 ** i), W // (2 ** i))
             skips.append(
-                LearnableUpsample(dtype=self.dtype, name=f"up{i}")(y, target)
+                LearnableUpsample(dtype=self.dtype, name=f"up{i}")(
+                    y, target, train=train)
             )
         return skips

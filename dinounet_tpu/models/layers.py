@@ -197,6 +197,36 @@ class TransposedConv(nn.Module):
         )(x)
 
 
+class _TranspConvInnerParams(nn.Module):
+    """nn.ConvTranspose-identical param tree (kernel (2, 2, Cin, Cout) + bias)."""
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", conv_kaiming_init,
+                       (2, 2, in_features, self.features), jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+        else:
+            b = jnp.zeros((self.features,), jnp.float32)
+        return k, b
+
+
+class TransposedConvParams(nn.Module):
+    """Mirrors TransposedConv's param tree (transpconv/{kernel, bias}) for
+    paths whose matmul runs inside a Pallas kernel
+    (ops/decoder_tail_pallas.py::transpconv2x2_cm)."""
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _TranspConvInnerParams(self.features, self.use_bias,
+                                      name="transpconv")(in_features)
+
+
 @functools.lru_cache(maxsize=None)
 def _resize_matrix(src: int, dst: int, antialias: bool = False):
     """One axis of a bilinear resize as a dense (dst, src) numpy matrix
@@ -255,17 +285,51 @@ class LearnableUpsample(nn.Module):
 
     ref: dinounet_training.py:249-264. The number of doublings is static given the
     (static) input/target sizes, so this unrolls cleanly under jit.
-    """
+
+    At inference with the fused decoder tail enabled, the doublings run
+    channel-major through ops/decoder_tail_pallas.py::transpconv2x2_cm
+    (M=4*ch matmul shapes vs XLA's 25%-lane emitter at the high-res steps);
+    the NHWC boundary transposes cancel against the decoder chain's entry
+    transposes XLA-side. Param tree is identical either way (shared
+    checkpoints)."""
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, target_size: Tuple[int, int]):
+    def __call__(self, x, target_size: Tuple[int, int], train: bool = False):
         ch = x.shape[-1]
-        up2 = TransposedConv(ch, (2, 2), use_bias=True, dtype=self.dtype, name="up2")
         h, w = x.shape[1], x.shape[2]
+        doublings = []
         while h * 2 <= target_size[0] and w * 2 <= target_size[1]:
-            x = up2(x)
-            h, w = x.shape[1], x.shape[2]
-        if (h, w) != tuple(target_size):
+            doublings.append((h, w))
+            h, w = h * 2, w * 2
+
+        if doublings and self._use_cm(x, doublings, train):
+            from dinounet_tpu.configuration import decoder_tail_impl
+            from dinounet_tpu.ops.decoder_tail_pallas import transpconv2x2_cm
+
+            interp = decoder_tail_impl() == "interpret"
+            k, b = TransposedConvParams(ch, True, name="up2")(ch)
+            y = jnp.transpose(x, (0, 3, 1, 2))
+            for _ in doublings:
+                y = transpconv2x2_cm(y, k, b, interpret=interp)
+            x = jnp.transpose(y, (0, 2, 3, 1))
+        else:
+            up2 = TransposedConv(ch, (2, 2), use_bias=True, dtype=self.dtype,
+                                 name="up2")
+            for _ in doublings:
+                x = up2(x)
+        if (x.shape[1], x.shape[2]) != tuple(target_size):
             x = bilinear_resize(x, target_size)
         return x
+
+    def _use_cm(self, x, doublings, train) -> bool:
+        if train or x.ndim != 4 or x.dtype != jnp.bfloat16:
+            return False
+        from dinounet_tpu.configuration import use_fused_decoder_tail
+
+        if not use_fused_decoder_tail():
+            return False
+        from dinounet_tpu.ops.decoder_tail_pallas import _pick_stripe
+
+        return all(_pick_stripe(h, vmem_rows=16) is not None
+                   for h, _ in doublings)

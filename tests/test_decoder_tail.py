@@ -115,6 +115,45 @@ class TestKernels:
         assert not tail_supported((8, 64, 512, 96))   # W not a lane multiple
 
 
+class TestLearnableUpsampleCM:
+    def test_cm_matches_plain(self, rng, monkeypatch):
+        """The channel-major doubling path must match the flax transpconv
+        chain (shared weights across doublings) with an identical tree."""
+        from dinounet_tpu.models.layers import LearnableUpsample
+
+        x = _rand(rng, (2, 32, 32, 8))
+        mod = LearnableUpsample()
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        v1 = mod.init(jax.random.PRNGKey(0), x, (128, 128))
+        ref = mod.apply(v1, x, (128, 128))
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
+        v2 = mod.init(jax.random.PRNGKey(0), x, (128, 128))
+        import jax.tree_util as jtu
+        p1 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v1)}
+        p2 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v2)}
+        assert p1 == p2
+
+        got = mod.apply(v1, x, (128, 128))
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=0.05, rtol=0.03)
+
+    def test_train_uses_plain_path(self, rng, monkeypatch):
+        from dinounet_tpu.models.layers import LearnableUpsample
+
+        x = _rand(rng, (1, 16, 16, 8))
+        mod = LearnableUpsample()
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        v = mod.init(jax.random.PRNGKey(0), x, (32, 32))
+        ref = mod.apply(v, x, (32, 32), train=True)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
+        got = mod.apply(v, x, (32, 32), train=True)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+
+
 class TestDecoderIntegration:
     def _decoder(self, deep_supervision=False):
         from dinounet_tpu.models.decoder import UNetDecoder
