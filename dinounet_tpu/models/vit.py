@@ -245,12 +245,14 @@ class Attention(nn.Module):
         from dinounet_tpu.configuration import (
             use_fused_attention, use_fused_dense, vit_int8)
 
-        if use_fused_attention() and use_fused_dense() and not vit_int8():
-            # (requires the fused dense path: ~60% of the premapped win is
-            # relayout cost that only pays off when the channel-major fused
-            # projection consumes the kernel output — and keeping the two
-            # knobs independent keeps DINOUNET_TPU_DENSE_IMPL=jax a clean
-            # A/B of the dense kernels alone)
+        if (use_fused_attention() and use_fused_dense()
+                and not vit_int8() and residual is not None):
+            # (requires the stats-threaded fused dense path: ~60% of the
+            # premapped win is relayout cost that only pays off when the
+            # channel-major fused projection consumes the kernel output
+            # with the residual — SwiGLU/7B and DENSE_IMPL=jax configs keep
+            # the row-major kernel below, which also keeps
+            # DINOUNET_TPU_DENSE_IMPL=jax a clean A/B of the dense kernels)
             # Premapped fast path: the QKV projection emits the kernel's
             # per-head (B, 3, M, N, Dh) layout directly (the transposed write
             # folds into the matmul — the premapped-MSDA trick), the Pallas
@@ -275,10 +277,6 @@ class Attention(nn.Module):
             sin, cos = rope if rope is not None else (None, None)
             o_t = fused_rope_attention_premapped(qkv_t, sin, cos,
                                                  interpret=interp)
-            if residual is None:
-                o = jnp.transpose(o_t, (0, 3, 1, 2)).reshape(B, N, C)
-                return _backbone_dense(C, cfg.proj_bias, cdt, "proj")(o)
-
             from dinounet_tpu.ops.dense_stats_pallas import (
                 dense_cm_residual_stats)
 
