@@ -98,14 +98,32 @@ def main():
         # through the dev tunnel); e.g. dinounet_7b runs at batch 1
         batches = [int(forced)]
     value = None
-    for impl in (os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto"), "jax"):
-        os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
-        for batch in batches:
-            try:
-                value = run(batch)
+    # fallback tiers: if a Pallas path fails to lower/execute, step down to
+    # the XLA formulations knob by knob (decoder tail first, then the dense/
+    # attention fusions, then the MSDA kernel) so a single kernel regression
+    # never zeroes the benchmark
+    tail0 = os.environ.get("DINOUNET_TPU_DECODER_TAIL", "auto")
+    dense0 = os.environ.get("DINOUNET_TPU_DENSE_IMPL", "auto")
+    msda0 = os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto")
+    tiers = []
+    for tail, dense in ((tail0, dense0), ("jax", dense0), ("jax", "jax")):
+        if (tail, dense) not in tiers:
+            tiers.append((tail, dense))
+    impls = [msda0] + (["jax"] if msda0 != "jax" else [])
+    for tail, dense in tiers:
+        os.environ["DINOUNET_TPU_DECODER_TAIL"] = tail
+        os.environ["DINOUNET_TPU_DENSE_IMPL"] = dense
+        for impl in impls:
+            os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
+            for batch in batches:
+                try:
+                    value = run(batch)
+                    break
+                except Exception as e:  # OOM or lowering failure: step down
+                    log(f"batch={batch} impl={impl} tail={tail} dense={dense} "
+                        f"failed: {type(e).__name__}: {e}")
+            if value is not None:
                 break
-            except Exception as e:  # OOM or kernel-lowering failure: step down
-                log(f"batch={batch} impl={impl} failed: {type(e).__name__}: {e}")
         if value is not None:
             break
     if value is None:
