@@ -117,7 +117,8 @@ def _fwd_kernel(shapes, P, build_dtype, xs_ref, ys_ref, aw_ref, value_ref,
         S_l = H * W
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, Q), 0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, Q), 0)
-        w3 = jnp.zeros((H, W, Q), build_dtype)
+        w3 = None  # first point writes the (H, W, Q) buffer directly — no
+        # zero-init + add pass over the largest tensor in the kernel
         for p in range(P):
             row = lvl * P + p
             x = xs_ref[0, 0, row : row + 1, :]  # (1, BLK)
@@ -126,7 +127,8 @@ def _fwd_kernel(shapes, P, build_dtype, xs_ref, ys_ref, aw_ref, value_ref,
             yw, xw, _, _ = _row_col_weights(iota_h, iota_w, H, W, x, y)
             yw = yw.astype(build_dtype)
             awxw = (aw * xw).astype(build_dtype)
-            w3 = w3 + yw[:, None, :] * awxw[None, :, :]
+            term = yw[:, None, :] * awxw[None, :, :]
+            w3 = term if w3 is None else w3 + term
         v = value_ref[0, 0, :, start : start + S_l]  # (D, S_l)
         acc = acc + jax.lax.dot_general(
             v, w3.reshape(S_l, Q), (((1,), (0,)), ((), ())),
@@ -304,7 +306,7 @@ def _bwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, g_ref,
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, Q), 0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, Q), 0)
         v = value_ref[0, 0, :, start : start + S_l]  # (D, S_l)
-        w3_total = jnp.zeros((H, W, Q), jnp.float32)
+        w3_total = None  # first point writes the buffer directly
         for p in range(P):
             row = lvl * P + p
             x = xs_ref[0, 0, row : row + 1, :]  # (1, Q)
@@ -314,7 +316,8 @@ def _bwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, g_ref,
             w_plain = (yw[:, None, :] * xw[None, :, :]).reshape(S_l, Q)
             dwdx = (yw[:, None, :] * dxw[None, :, :]).reshape(S_l, Q)
             dwdy = (dyw[:, None, :] * xw[None, :, :]).reshape(S_l, Q)
-            w3_total = w3_total + yw[:, None, :] * (aw * xw)[None, :, :]
+            term = yw[:, None, :] * (aw * xw)[None, :, :]
+            w3_total = term if w3_total is None else w3_total + term
 
             # sampled value / its positional derivatives at this point: (D, Q)
             sampled = jax.lax.dot_general(
