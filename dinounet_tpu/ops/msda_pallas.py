@@ -111,7 +111,8 @@ def _fwd_kernel(shapes, P, build_dtype, xs_ref, ys_ref, aw_ref, value_ref,
     """
     D = value_ref.shape[2]
     Q = out_ref.shape[3]
-    acc = jnp.zeros((D, Q), jnp.float32)
+    acc = None  # first level's dot writes the accumulator directly (the
+    # DinoUNet path has a single level, so a zero-init + add is pure waste)
     start = 0
     for lvl, (H, W) in enumerate(shapes):
         S_l = H * W
@@ -130,10 +131,11 @@ def _fwd_kernel(shapes, P, build_dtype, xs_ref, ys_ref, aw_ref, value_ref,
             term = yw[:, None, :] * awxw[None, :, :]
             w3 = term if w3 is None else w3 + term
         v = value_ref[0, 0, :, start : start + S_l]  # (D, S_l)
-        acc = acc + jax.lax.dot_general(
+        lvl_out = jax.lax.dot_general(
             v, w3.reshape(S_l, Q), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        acc = lvl_out if acc is None else acc + lvl_out
         start += S_l
     out_ref[0, 0] = acc
 
