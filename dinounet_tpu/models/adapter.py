@@ -218,12 +218,15 @@ class MSDeformAttn(nn.Module):
         xs = off_t[:, :, :, 0, :] + base_x[None, None]
         ys = off_t[:, :, :, 1, :] + base_y[None, None]
 
+        # the kernel rounds its fp32 accumulator to the compute dtype on
+        # store — no separate XLA cast pass over the (B, M, D, Lq) output
         out_t = ms_deform_attn_pallas_premapped(
-            v_t, tuple(value_spatial_shapes), xs, ys, attn_t)
+            v_t, tuple(value_spatial_shapes), xs, ys, attn_t, False,
+            jnp.dtype(self.dtype))
         if residual is None:
             return _ChannelMajorOutputProj(
                 self.d_model, dtype=self.dtype, name="output_proj",
-            )(out_t.astype(self.dtype))
+            )(out_t)
         # stats-threaded fused path: the kernel's channel-major (B, M, D, Lq)
         # output feeds the projection + residual + next-LN stats directly
         # (ops/dense_stats_pallas.py::dense_cm_residual_stats) — the residual
@@ -234,7 +237,7 @@ class MSDeformAttn(nn.Module):
 
         k_p, b_p = _DenseParams(self.d_model, name="output_proj")(M * D)
         return dense_cm_residual_stats(
-            out_t.astype(self.dtype).reshape(B, M * D, Lq), k_p, b_p, residual,
+            out_t.reshape(B, M * D, Lq), k_p, b_p, residual,
             jnp.ones((self.d_model,), jnp.float32),
             interpret=fused_dense_impl() == "interpret")
 

@@ -137,7 +137,7 @@ def _fwd_kernel(shapes, P, build_dtype, xs_ref, ys_ref, aw_ref, value_ref,
         )
         acc = lvl_out if acc is None else acc + lvl_out
         start += S_l
-    out_ref[0, 0] = acc
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def _pad_q(arrs, blk, coord_pad=-10.0):
@@ -155,12 +155,15 @@ def _pad_q(arrs, blk, coord_pad=-10.0):
     ]
 
 
-def _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret=False):
+def _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret=False,
+                       out_dtype=jnp.float32):
     """Kernel-native layouts in, kernel-native layout out.
 
     v: (B, M, D, S) fp32 (or bf16 under msda_bf16_build); xs/ys:
     (B, M, L*P, Lq) fp32 unnormalized pixel coords (value_grid * loc - 0.5);
-    aw: (B, M, L*P, Lq) fp32. Returns (B, M, D, Lq) fp32."""
+    aw: (B, M, L*P, Lq) fp32. Returns (B, M, D, Lq) in out_dtype — the
+    kernel rounds its fp32 accumulator on store, so a bf16 consumer (the
+    fused output projection) skips a separate 30+ MB XLA cast pass."""
     from dinounet_tpu.configuration import msda_bf16_build
 
     B, M, D, S = v.shape
@@ -192,7 +195,7 @@ def _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, 1, D, blk), lambda b, m, q: (b, m, 0, q),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M, D, Lq_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, M, D, Lq_p), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * M * D * S * Lq_p,
             bytes_accessed=4 * B * M * (3 * LP * Lq_p + D * S + D * Lq_p),
@@ -205,29 +208,32 @@ def _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret=False):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
 def ms_deform_attn_pallas_premapped(value_t,
                                     spatial_shapes: Tuple[Tuple[int, int], ...],
-                                    xs, ys, aw, interpret=False):
+                                    xs, ys, aw, interpret=False,
+                                    out_dtype=jnp.float32):
     """Pallas MSDA over kernel-native layouts (see module docstring).
 
     value_t (B, M, D, S) fp32, xs/ys/aw (B, M, L*P, Lq) fp32 with xs/ys in
     unnormalized pixel space (grid * normalized_loc - 0.5). Returns
-    (B, M, D, Lq) fp32. Backward is the Pallas col2im kernel; the returned
-    coordinate grads are in the same pixel units (the caller's unnormalize
-    chain is differentiated by JAX outside this custom_vjp)."""
-    return _forward_premapped(value_t, spatial_shapes, xs, ys, aw, interpret)
+    (B, M, D, Lq) in out_dtype. Backward is the Pallas col2im kernel; the
+    returned coordinate grads are in the same pixel units (the caller's
+    unnormalize chain is differentiated by JAX outside this custom_vjp)."""
+    return _forward_premapped(value_t, spatial_shapes, xs, ys, aw, interpret,
+                              out_dtype)
 
 
-def _premapped_fwd(value_t, spatial_shapes, xs, ys, aw, interpret):
-    out = _forward_premapped(value_t, spatial_shapes, xs, ys, aw, interpret)
+def _premapped_fwd(value_t, spatial_shapes, xs, ys, aw, interpret, out_dtype):
+    out = _forward_premapped(value_t, spatial_shapes, xs, ys, aw, interpret,
+                             out_dtype)
     return out, (value_t, xs, ys, aw)
 
 
-def _premapped_bwd(spatial_shapes, interpret, res, g):
+def _premapped_bwd(spatial_shapes, interpret, out_dtype, res, g):
     value_t, xs, ys, aw = res
     gv, ga, gx, gy = _backward_premapped(
-        value_t, spatial_shapes, xs, ys, aw, g, interpret)
+        value_t, spatial_shapes, xs, ys, aw, g.astype(jnp.float32), interpret)
     return gv, gx, gy, ga
 
 

@@ -237,7 +237,8 @@ class TestModuleBranchParity:
         orig = msda_pallas._forward_premapped
         monkeypatch.setattr(
             msda_pallas, "_forward_premapped",
-            lambda v, s, xs, ys, aw, interp=False: orig(v, s, xs, ys, aw, True))
+            lambda v, s, xs, ys, aw, interp=False, out_dtype=jnp.float32:
+                orig(v, s, xs, ys, aw, True, out_dtype))
 
         B, Lq, E = 2, 21, 32
         shapes = ((4, 4),)
