@@ -194,7 +194,10 @@ class MSDeformAttn(nn.Module):
 
         v_t = _ChannelMajorDense(d_value, dtype=self.dtype,
                                  name="value_proj")(value_tokens)
-        v_t = v_t.reshape(B, M, D, -1).astype(jnp.float32)
+        # keep the value tensor in the compute dtype: the kernel upcasts the
+        # VMEM-resident slice itself, so the DMA moves half the bytes and no
+        # XLA cast pass materializes an fp32 copy
+        v_t = v_t.reshape(B, M, D, -1)
 
         off_t = _ChannelMajorDense(
             M * L * P * 2, dtype=self.dtype,

@@ -130,7 +130,9 @@ def _fwd_kernel(shapes, P, build_dtype, xs_ref, ys_ref, aw_ref, value_ref,
             awxw = (aw * xw).astype(build_dtype)
             term = yw[:, None, :] * awxw[None, :, :]
             w3 = term if w3 is None else w3 + term
-        v = value_ref[0, 0, :, start : start + S_l]  # (D, S_l)
+        # value arrives in its storage dtype (bf16 halves the DMA); the
+        # cast to the build dtype happens on the VMEM-resident slice
+        v = value_ref[0, 0, :, start : start + S_l].astype(build_dtype)
         lvl_out = jax.lax.dot_general(
             v, w3.reshape(S_l, Q), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -171,7 +173,6 @@ def _forward_premapped(v, spatial_shapes, xs, ys, aw, interpret=False,
     L = len(spatial_shapes)
     P = LP // L
     build_dtype = jnp.bfloat16 if msda_bf16_build() else jnp.float32
-    v = v.astype(build_dtype)
 
     blk = _pick_blk_q(Lq)
     xs, ys, aw = _pad_q([(xs, True), (ys, True), (aw, False)], blk)
@@ -313,7 +314,7 @@ def _bwd_kernel(shapes, P, xs_ref, ys_ref, aw_ref, value_ref, g_ref,
         S_l = H * W
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, Q), 0)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, Q), 0)
-        v = value_ref[0, 0, :, start : start + S_l]  # (D, S_l)
+        v = value_ref[0, 0, :, start : start + S_l].astype(jnp.float32)
         w3_total = None  # first point writes the buffer directly
         for p in range(P):
             row = lvl * P + p
