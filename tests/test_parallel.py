@@ -278,3 +278,22 @@ def test_batchnorm_is_sync_under_gspmd(cpu8):
             np.asarray(ref_stats["batch_stats"][k] if "batch_stats" in ref_stats
                        else ref_stats[k]),
             rtol=1e-5, atol=1e-6)
+
+
+def test_dryrun_multichip_gate():
+    """Run the driver's multichip gate (__graft_entry__.dryrun_multichip) on
+    the 8 virtual CPU devices, exactly as the driver does. Guards two things:
+    the GSPMD train step compiles+executes on a (4, 2) ('data','model') mesh,
+    and the device-selection logic stays hermetic — it must pick the CPU
+    devices without ever touching the default (possibly wedged-TPU) backend.
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        import __graft_entry__
+    finally:
+        sys.path.pop(0)
+
+    __graft_entry__.dryrun_multichip(8)
