@@ -105,23 +105,28 @@ def main():
     tail0 = os.environ.get("DINOUNET_TPU_DECODER_TAIL", "auto")
     dense0 = os.environ.get("DINOUNET_TPU_DENSE_IMPL", "auto")
     msda0 = os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto")
+    prep0 = os.environ.get("DINOUNET_TPU_MSDA_PREP", "xla")
     tiers = []
     for tail, dense in ((tail0, dense0), ("jax", dense0), ("jax", "jax")):
         if (tail, dense) not in tiers:
             tiers.append((tail, dense))
-    impls = [msda0] + (["jax"] if msda0 != "jax" else [])
+    impls = []
+    for impl, prep in ((msda0, prep0), (msda0, "xla"), ("jax", "xla")):
+        if (impl, prep) not in impls:
+            impls.append((impl, prep))
     for tail, dense in tiers:
         os.environ["DINOUNET_TPU_DECODER_TAIL"] = tail
         os.environ["DINOUNET_TPU_DENSE_IMPL"] = dense
-        for impl in impls:
+        for impl, prep in impls:
             os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
+            os.environ["DINOUNET_TPU_MSDA_PREP"] = prep
             for batch in batches:
                 try:
                     value = run(batch)
                     break
                 except Exception as e:  # OOM or lowering failure: step down
-                    log(f"batch={batch} impl={impl} tail={tail} dense={dense} "
-                        f"failed: {type(e).__name__}: {e}")
+                    log(f"batch={batch} impl={impl} prep={prep} tail={tail} "
+                        f"dense={dense} failed: {type(e).__name__}: {e}")
             if value is not None:
                 break
         if value is not None:

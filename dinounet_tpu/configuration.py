@@ -46,6 +46,20 @@ def msda_bf16_build() -> bool:
     return os.environ.get("DINOUNET_TPU_MSDA_BF16", "0") == "1"
 
 
+def msda_fused_prep() -> bool:
+    """Fused MSDA prep: the Pallas forward consumes the projections' raw bf16
+    offsets/logits and performs the fp32 cast + reference-point base add +
+    softmax in VMEM (ops/msda_pallas.py::_fwd_kernel_fused), replacing three
+    XLA passes (~0.1-0.2 ms each) per MSDA call and halving the offset/logit
+    DMA bytes. The backward recomputes the prep XLA-side and chain-rules the
+    softmax analytically.
+
+    Env DINOUNET_TPU_MSDA_PREP in {"fused", "xla"}; default "xla" until the
+    A/B on hardware lands (flip the default here if it wins). Only consulted
+    on the premapped Pallas path."""
+    return os.environ.get("DINOUNET_TPU_MSDA_PREP", "xla") == "fused"
+
+
 def vit_int8() -> bool:
     """Experimental int8 serving mode for the FROZEN backbone's linear layers.
 

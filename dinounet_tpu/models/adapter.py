@@ -199,18 +199,17 @@ class MSDeformAttn(nn.Module):
         # XLA cast pass materializes an fp32 copy
         v_t = v_t.reshape(B, M, D, -1)
 
-        off_t = _ChannelMajorDense(
+        off_raw = _ChannelMajorDense(
             M * L * P * 2, dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=_sampling_offset_bias_init(M, L, P),
             name="sampling_offsets",
-        )(query).astype(jnp.float32).reshape(B, M, L * P, 2, Lq)
-        attn_t = _ChannelMajorDense(
+        )(query)
+        attn_raw = _ChannelMajorDense(
             M * L * P, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             name="attention_weights",
-        )(query).astype(jnp.float32).reshape(B, M, L * P, Lq)
-        attn_t = jax.nn.softmax(attn_t, axis=2)
+        )(query)
 
         sizes = np.array([[w, h] for (h, w) in value_spatial_shapes],
                          dtype=np.float32)  # (L, 2) = (W_l, H_l)
@@ -218,14 +217,33 @@ class MSDeformAttn(nn.Module):
         refy = reference_points[0, :, 0, 1]
         base_x = jnp.repeat(refx[None, :] * sizes[:, 0:1] - 0.5, P, axis=0)
         base_y = jnp.repeat(refy[None, :] * sizes[:, 1:2] - 0.5, P, axis=0)
-        xs = off_t[:, :, :, 0, :] + base_x[None, None]
-        ys = off_t[:, :, :, 1, :] + base_y[None, None]
 
-        # the kernel rounds its fp32 accumulator to the compute dtype on
-        # store — no separate XLA cast pass over the (B, M, D, Lq) output
-        out_t = ms_deform_attn_pallas_premapped(
-            v_t, tuple(value_spatial_shapes), xs, ys, attn_t, False,
-            jnp.dtype(self.dtype))
+        from dinounet_tpu.configuration import msda_fused_prep
+        if msda_fused_prep():
+            # fused prep: the kernel takes the raw bf16 projection outputs
+            # and does the f32 cast + base add + softmax in VMEM
+            from dinounet_tpu.ops.msda_pallas import (
+                ms_deform_attn_pallas_premapped_fused,
+            )
+
+            base = jnp.stack([base_x, base_y], axis=1).reshape(2 * L * P, Lq)
+            out_t = ms_deform_attn_pallas_premapped_fused(
+                v_t, tuple(value_spatial_shapes),
+                off_raw.reshape(B, M, 2 * L * P, Lq),
+                attn_raw.reshape(B, M, L * P, Lq),
+                base, False, jnp.dtype(self.dtype))
+        else:
+            off_t = off_raw.astype(jnp.float32).reshape(B, M, L * P, 2, Lq)
+            attn_t = jax.nn.softmax(
+                attn_raw.astype(jnp.float32).reshape(B, M, L * P, Lq), axis=2)
+            xs = off_t[:, :, :, 0, :] + base_x[None, None]
+            ys = off_t[:, :, :, 1, :] + base_y[None, None]
+
+            # the kernel rounds its fp32 accumulator to the compute dtype on
+            # store — no separate XLA cast pass over the (B, M, D, Lq) output
+            out_t = ms_deform_attn_pallas_premapped(
+                v_t, tuple(value_spatial_shapes), xs, ys, attn_t, False,
+                jnp.dtype(self.dtype))
         if residual is None:
             return _ChannelMajorOutputProj(
                 self.d_model, dtype=self.dtype, name="output_proj",

@@ -241,6 +241,168 @@ def _premapped_bwd(spatial_shapes, interpret, out_dtype, res, g):
 ms_deform_attn_pallas_premapped.defvjp(_premapped_fwd, _premapped_bwd)
 
 
+def _fwd_kernel_fused(shapes, P, build_dtype, off_ref, logit_ref, base_ref,
+                      value_ref, out_ref):
+    """Fused-prep forward: one program = one (b, m, q-block).
+
+    Takes the adapter's projection outputs RAW — bf16 sampling offsets
+    (interleaved x/y rows) and bf16 pre-softmax attention logits — plus the
+    constant reference-point base grid, and performs the prep the XLA side
+    used to do (fp32 cast, base add, softmax over the L*P points) in VMEM.
+    The offset/logit DMAs move half the bytes and three XLA passes per MSDA
+    call disappear; the added VPU work (L*P-row softmax + adds over the
+    (L*P, BLK) tile) is <1% of the W-build.
+
+    off_ref:   (1, 1, 2*L*P, BLK) — rows 2r / 2r+1 = x / y offset of point r
+               (the natural row order of the offsets projection's
+               (M, L*P, 2) feature layout).
+    logit_ref: (1, 1, L*P, BLK) — pre-softmax attention logits.
+    base_ref:  (2*L*P, BLK) fp32 — ref*grid − 0.5, same interleaving; shared
+               across (b, m).
+    """
+    D = value_ref.shape[2]
+    Q = out_ref.shape[3]
+    logits = logit_ref[0, 0].astype(jnp.float32)  # (LP, Q)
+    logits = logits - jnp.max(logits, axis=0, keepdims=True)
+    ex = jnp.exp(logits)
+    s = ex / jnp.sum(ex, axis=0, keepdims=True)
+    coords = off_ref[0, 0].astype(jnp.float32) + base_ref[...]  # (2LP, Q)
+    acc = None
+    start = 0
+    for lvl, (H, W) in enumerate(shapes):
+        S_l = H * W
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, Q), 0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, Q), 0)
+        w3 = None
+        for p in range(P):
+            row = lvl * P + p
+            x = coords[2 * row : 2 * row + 1, :]  # (1, BLK)
+            y = coords[2 * row + 1 : 2 * row + 2, :]
+            aw = s[row : row + 1, :]
+            yw, xw, _, _ = _row_col_weights(iota_h, iota_w, H, W, x, y)
+            yw = yw.astype(build_dtype)
+            awxw = (aw * xw).astype(build_dtype)
+            term = yw[:, None, :] * awxw[None, :, :]
+            w3 = term if w3 is None else w3 + term
+        v = value_ref[0, 0, :, start : start + S_l].astype(build_dtype)
+        lvl_out = jax.lax.dot_general(
+            v, w3.reshape(S_l, Q), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = lvl_out if acc is None else acc + lvl_out
+        start += S_l
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+def _forward_premapped_fused(v, spatial_shapes, off, logits, base,
+                             interpret=False, out_dtype=jnp.float32):
+    """Fused-prep variant of _forward_premapped.
+
+    v (B, M, D, S) storage dtype; off (B, M, 2*L*P, Lq) / logits
+    (B, M, L*P, Lq) in the projections' compute dtype (bf16); base
+    (2*L*P, Lq) fp32. Returns (B, M, D, Lq) in out_dtype."""
+    from dinounet_tpu.configuration import msda_bf16_build
+
+    B, M, D, S = v.shape
+    LP, Lq = logits.shape[2], logits.shape[3]
+    L = len(spatial_shapes)
+    P = LP // L
+    build_dtype = jnp.bfloat16 if msda_bf16_build() else jnp.float32
+
+    blk = _pick_blk_q(Lq)
+    q_pad = (-Lq) % blk
+    if q_pad:
+        # pad offsets/logits with zero and the base with an out-of-range
+        # coordinate so padded queries contribute nothing
+        off = jnp.pad(off, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
+        logits = jnp.pad(logits, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
+        base = jnp.pad(base, ((0, 0), (0, q_pad)), constant_values=-10.0)
+    Lq_p = logits.shape[3]
+    n_qb = Lq_p // blk
+
+    kernel = functools.partial(_fwd_kernel_fused, tuple(spatial_shapes), P,
+                               build_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, M, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2 * LP, blk), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LP, blk), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * LP, blk), lambda b, m, q: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, blk), lambda b, m, q: (b, m, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, D, Lq_p), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * D * S * Lq_p,
+            bytes_accessed=B * M * (2 * 3 * LP * Lq_p + 2 * D * S
+                                    + 4 * D * Lq_p),
+            transcendentals=B * M * LP * Lq_p,
+        ),
+        interpret=interpret,
+    )(off, logits, base, v)
+    if Lq_p != Lq:
+        out = out[:, :, :, :Lq]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
+def ms_deform_attn_pallas_premapped_fused(value_t,
+                                          spatial_shapes: Tuple[Tuple[int, int], ...],
+                                          off, logits, base, interpret=False,
+                                          out_dtype=jnp.float32):
+    """Pallas MSDA with in-kernel prep (base add + softmax) — see
+    _fwd_kernel_fused. Forward-equal to
+
+        xs = f32(off[:, :, 0::2]) + base[0::2]
+        ys = f32(off[:, :, 1::2]) + base[1::2]
+        ms_deform_attn_pallas_premapped(value_t, shapes, xs, ys,
+                                        softmax(f32(logits), axis=2))
+
+    The backward recomputes the prep on the XLA side (cheap relative to the
+    col2im kernels), runs the premapped col2im backward, and chain-rules the
+    softmax analytically: g_logits = s * (g_s − Σ_p g_s·s). `base` is built
+    from constant reference grids (deform_inputs), so its cotangent is zero."""
+    return _forward_premapped_fused(value_t, spatial_shapes, off, logits,
+                                    base, interpret, out_dtype)
+
+
+def _premapped_fused_prep(off, logits, base):
+    xs = off[:, :, 0::2, :].astype(jnp.float32) + base[0::2]
+    ys = off[:, :, 1::2, :].astype(jnp.float32) + base[1::2]
+    s = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
+    return xs, ys, s
+
+
+def _premapped_fused_fwd(value_t, spatial_shapes, off, logits, base,
+                         interpret, out_dtype):
+    out = _forward_premapped_fused(value_t, spatial_shapes, off, logits,
+                                   base, interpret, out_dtype)
+    return out, (value_t, off, logits, base)
+
+
+def _premapped_fused_bwd(spatial_shapes, interpret, out_dtype, res, g):
+    value_t, off, logits, base = res
+    B, M, LP, Lq = logits.shape
+    xs, ys, s = _premapped_fused_prep(off, logits, base)
+    gv, gs, gx, gy = _backward_premapped(
+        value_t, spatial_shapes, xs, ys, s, g.astype(jnp.float32), interpret)
+    g_logits = (s * (gs - jnp.sum(gs * s, axis=2, keepdims=True))
+                ).astype(logits.dtype)
+    g_off = jnp.stack([gx, gy], axis=3).reshape(B, M, 2 * LP, Lq
+                                                ).astype(off.dtype)
+    return gv, g_off, g_logits, jnp.zeros_like(base)
+
+
+ms_deform_attn_pallas_premapped_fused.defvjp(_premapped_fused_fwd,
+                                             _premapped_fused_bwd)
+
+
 def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights,
                     interpret=False):
     B, S, M, D = value.shape

@@ -280,3 +280,149 @@ def test_bf16_build_parity(rng, monkeypatch):
         jnp.array(v), shapes, jnp.array(xs), jnp.array(ys), jnp.array(aw), True)
     got = np.asarray(out_t).transpose(0, 3, 1, 2).reshape(2, 128, 3 * 8)
     np.testing.assert_allclose(ref, got, rtol=2e-2, atol=2e-2)
+
+
+class TestFusedPrep:
+    """ms_deform_attn_pallas_premapped_fused (in-kernel cast + base add +
+    softmax over raw projection outputs) vs the XLA-prep premapped path —
+    forward and custom-VJP gradients, including the analytic softmax chain."""
+
+    @staticmethod
+    def _fused_inputs(rng, B=2, M=3, D=8, Lq=128, shapes=((8, 16), (4, 8)),
+                      P=2, dtype=jnp.float32):
+        S = sum(h * w for h, w in shapes)
+        L = len(shapes)
+        v = jnp.asarray(rng.standard_normal((B, M, D, S)), dtype)
+        off = jnp.asarray(
+            rng.uniform(-2.0, 2.0, (B, M, 2 * L * P, Lq)), dtype)
+        logits = jnp.asarray(rng.standard_normal((B, M, L * P, Lq)), dtype)
+        # base: per level, a plausible in-range reference grid fold
+        rows = []
+        for (h, w) in shapes:
+            bx = rng.uniform(0, w - 1, (Lq,))
+            by = rng.uniform(0, h - 1, (Lq,))
+            for _ in range(P):
+                rows.append(bx)
+                rows.append(by)
+        # order must be (level, point) major with x/y interleaved
+        base = np.empty((2 * L * P, Lq), np.float32)
+        idx = 0
+        for lvl in range(L):
+            bx = rows[2 * lvl * P]
+            by = rows[2 * lvl * P + 1]
+            for p in range(P):
+                base[idx] = bx
+                base[idx + 1] = by
+                idx += 2
+        return v, off, logits, jnp.asarray(base), shapes
+
+    @staticmethod
+    def _xla_prep(off, logits, base):
+        xs = off[:, :, 0::2, :].astype(jnp.float32) + base[0::2]
+        ys = off[:, :, 1::2, :].astype(jnp.float32) + base[1::2]
+        aw = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
+        return xs, ys, aw
+
+    @pytest.mark.parametrize("Lq", [37, 128])
+    def test_forward_matches_unfused(self, rng, Lq):
+        from dinounet_tpu.ops.msda_pallas import (
+            ms_deform_attn_pallas_premapped,
+            ms_deform_attn_pallas_premapped_fused,
+        )
+
+        v, off, logits, base, shapes = self._fused_inputs(rng, Lq=Lq)
+        xs, ys, aw = self._xla_prep(off, logits, base)
+        ref = ms_deform_attn_pallas_premapped(v, shapes, xs, ys, aw, True)
+        got = ms_deform_attn_pallas_premapped_fused(
+            v, shapes, off, logits, base, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_forward_matches_unfused_bf16_inputs(self, rng):
+        """bf16 offsets/logits (the adapter's projection dtype): the fused
+        kernel's in-VMEM f32 cast must match the XLA-side cast exactly."""
+        from dinounet_tpu.ops.msda_pallas import (
+            ms_deform_attn_pallas_premapped,
+            ms_deform_attn_pallas_premapped_fused,
+        )
+
+        v, off, logits, base, shapes = self._fused_inputs(
+            rng, Lq=128, dtype=jnp.bfloat16)
+        xs, ys, aw = self._xla_prep(off, logits, base)
+        ref = ms_deform_attn_pallas_premapped(
+            v, shapes, xs, ys, aw, True, jnp.bfloat16)
+        got = ms_deform_attn_pallas_premapped_fused(
+            v, shapes, off, logits, base, True, jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=0, atol=0)
+
+    def test_grads_match_composed_chain(self, rng):
+        """d/d{value, off, logits} through the fused custom_vjp must equal
+        JAX differentiating the XLA prep + unfused premapped custom_vjp."""
+        from dinounet_tpu.ops.msda_pallas import (
+            ms_deform_attn_pallas_premapped,
+            ms_deform_attn_pallas_premapped_fused,
+        )
+
+        v, off, logits, base, shapes = self._fused_inputs(
+            rng, B=1, M=2, D=4, Lq=29, shapes=((6, 8),), P=2)
+
+        def f_fused(v_, off_, logits_):
+            out = ms_deform_attn_pallas_premapped_fused(
+                v_, shapes, off_, logits_, base, True)
+            return (out ** 2).sum()
+
+        def f_chain(v_, off_, logits_):
+            xs, ys, aw = self._xla_prep(off_, logits_, base)
+            out = ms_deform_attn_pallas_premapped(v_, shapes, xs, ys, aw, True)
+            return (out ** 2).sum()
+
+        g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(v, off, logits)
+        g_chain = jax.grad(f_chain, argnums=(0, 1, 2))(v, off, logits)
+        for a, b in zip(g_fused, g_chain):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_module_fused_branch_matches_dense_branch(self, rng, monkeypatch):
+        """MSDeformAttn with DINOUNET_TPU_MSDA_PREP=fused == the Dense/gather
+        branch from identical params (the fused analogue of
+        TestModuleBranchParity)."""
+        from dinounet_tpu.models.adapter import (
+            MSDeformAttn,
+            reference_points_for_grids,
+        )
+        from dinounet_tpu.ops import msda_pallas
+
+        orig = msda_pallas._forward_premapped_fused
+        monkeypatch.setattr(
+            msda_pallas, "_forward_premapped_fused",
+            lambda v, s, off, logits, base, interp=False,
+                   out_dtype=jnp.float32:
+                orig(v, s, off, logits, base, True, out_dtype))
+
+        B, Lq, E = 2, 21, 32
+        shapes = ((4, 4),)
+        query = jnp.asarray(rng.standard_normal((B, Lq, E)), jnp.float32)
+        tokens = jnp.asarray(rng.standard_normal((B, 16, E)), jnp.float32)
+        ref_pts = jnp.asarray(
+            reference_points_for_grids([(4, 4), (2, 2), (1, 1)]))
+        mod = MSDeformAttn(d_model=E, n_heads=4, n_points=2, ratio=0.5,
+                           dtype=jnp.float32)
+
+        monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "jax")
+        variables = mod.init(jax.random.PRNGKey(0), query, ref_pts, tokens,
+                             shapes)
+        out_dense = mod.apply(variables, query, ref_pts, tokens, shapes)
+
+        monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "pallas")
+        monkeypatch.setenv("DINOUNET_TPU_MSDA_PREP", "fused")
+        variables_f = mod.init(jax.random.PRNGKey(0), query, ref_pts, tokens,
+                               shapes)
+        assert jax.tree_util.tree_structure(variables) == \
+            jax.tree_util.tree_structure(variables_f)
+        out_fused = mod.apply(variables, query, ref_pts, tokens, shapes)
+
+        np.testing.assert_allclose(np.asarray(out_dense),
+                                   np.asarray(out_fused),
+                                   rtol=2e-5, atol=2e-5)
