@@ -20,7 +20,7 @@ than the per-corner one-hot build at DinoUNet shapes (S=1024, Lq=5376).
 
 All arrays are laid out with the large dims (S | Q) on the TPU lane axis.
 
-Two public entry points:
+Three public entry points:
 
 - `ms_deform_attn_pallas` — reference-layout API (value (B, S, M, D),
   normalized locations (B, Lq, M, L, P, 2)); does the layout transposes on the
@@ -30,6 +30,11 @@ Two public entry points:
   adapter produces these layouts directly from its projection matmuls
   (channel-major einsum outputs), removing ~100 MB/call of XLA-side
   transpose+pad traffic that round-1 profiling attributed to MSDA prep.
+- `ms_deform_attn_pallas_premapped_fused` — premapped plus in-kernel prep:
+  consumes the projections' raw bf16 offsets (x/y-interleaved rows) and
+  pre-softmax logits with a constant fp32 reference-point base grid, doing
+  the fp32 cast + base add + point-softmax in VMEM (opt-in via
+  DINOUNET_TPU_MSDA_PREP=fused; see configuration.msda_fused_prep).
 
 Numerics match ops.msda.ms_deform_attn_core (the pure-JAX/grid_sample-parity
 implementation). The backward is a second Pallas kernel with the same
