@@ -103,19 +103,24 @@ def main():
     # attention fusions, then the MSDA kernel) so a single kernel regression
     # never zeroes the benchmark
     tail0 = os.environ.get("DINOUNET_TPU_DECODER_TAIL", "auto")
+    spm0 = os.environ.get("DINOUNET_TPU_SPM_CM", "auto")
     dense0 = os.environ.get("DINOUNET_TPU_DENSE_IMPL", "auto")
     msda0 = os.environ.get("DINOUNET_TPU_MSDA_IMPL", "auto")
     prep0 = os.environ.get("DINOUNET_TPU_MSDA_PREP", "xla")
     tiers = []
-    for tail, dense in ((tail0, dense0), ("jax", dense0), ("jax", "jax")):
-        if (tail, dense) not in tiers:
-            tiers.append((tail, dense))
+    # the decoder tail and the SPM stem share the conv3x3_cm kernel family,
+    # so they step down together
+    for tail, spm, dense in ((tail0, spm0, dense0), ("jax", "jax", dense0),
+                             ("jax", "jax", "jax")):
+        if (tail, spm, dense) not in tiers:
+            tiers.append((tail, spm, dense))
     impls = []
     for impl, prep in ((msda0, prep0), (msda0, "xla"), ("jax", "xla")):
         if (impl, prep) not in impls:
             impls.append((impl, prep))
-    for tail, dense in tiers:
+    for tail, spm, dense in tiers:
         os.environ["DINOUNET_TPU_DECODER_TAIL"] = tail
+        os.environ["DINOUNET_TPU_SPM_CM"] = spm
         os.environ["DINOUNET_TPU_DENSE_IMPL"] = dense
         for impl, prep in impls:
             os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
@@ -126,7 +131,8 @@ def main():
                     break
                 except Exception as e:  # OOM or lowering failure: step down
                     log(f"batch={batch} impl={impl} prep={prep} tail={tail} "
-                        f"dense={dense} failed: {type(e).__name__}: {e}")
+                        f"spm={spm} dense={dense} failed: "
+                        f"{type(e).__name__}: {e}")
             if value is not None:
                 break
         if value is not None:

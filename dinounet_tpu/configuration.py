@@ -126,6 +126,26 @@ def use_fused_decoder_tail() -> bool:
     return decoder_tail_impl() != "jax"
 
 
+def spm_cm_impl() -> str:
+    """Implementation of the SpatialPriorModule's high-res stem convs
+    (stem2/stem3: 3x3 stride-1 at 1/2 resolution, 64 channels — the same
+    sub-128-channel conv shape class the decoder tail targets; XLA runs them
+    at ~12-25% MFU). "pallas" routes them through ops/decoder_tail_pallas.py
+    ::conv3x3_cm in channel-major layout with the BatchNorm inference applies
+    folded into the kernel prologues; inference-only (training keeps flax).
+
+    DINOUNET_TPU_SPM_CM in {"auto", "pallas", "interpret", "jax"}.
+    """
+    impl = os.environ.get("DINOUNET_TPU_SPM_CM", "auto")
+    if impl in ("pallas", "interpret", "jax"):
+        return impl
+    return "pallas" if use_pallas_msda() else "jax"
+
+
+def use_spm_cm() -> bool:
+    return spm_cm_impl() != "jax"
+
+
 def enable_persistent_compilation_cache() -> None:
     """Turn on JAX's on-disk executable cache (idempotent).
 

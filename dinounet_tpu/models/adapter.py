@@ -418,14 +418,94 @@ class InteractionBlock(nn.Module):
         return c, stats
 
 
+class _SPMConvParams(nn.Module):
+    """nn.Conv(use_bias=False)-identical param tree (kernel only)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", conv_kaiming_init,
+                          (3, 3, in_features, self.features), jnp.float32)
+
+
+class _SPMBNParams(nn.Module):
+    """nn.BatchNorm-identical variable tree (scale/bias params + running
+    mean/var batch_stats), declared read-only: the CM stem path applies the
+    norm with running statistics (inference semantics)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class SpatialPriorModule(nn.Module):
     """Conv stem producing 4 scale maps (1/4..1/32), all projected to embed_dim.
 
     ref: dinov3_adapter.py:234-302. BatchNorm (sync via GSPMD global batch).
+
+    At inference the two half-resolution stem convs (stem2/stem3: 3x3
+    stride-1, `inplanes` channels — the sub-128-channel shape class XLA's
+    conv emitter runs at ~12-25% MFU) can run channel-major through
+    ops/decoder_tail_pallas.py::conv3x3_cm with the BatchNorm running-stats
+    applies folded into the kernel prologues (configuration.spm_cm_impl).
+    Training always keeps the flax graph (batch-stat updates + XLA backward).
     """
     inplanes: int = 64
     embed_dim: int = 384
     dtype: jnp.dtype = jnp.bfloat16
+
+    def _use_cm(self, y, train: bool) -> bool:
+        from dinounet_tpu.configuration import use_spm_cm
+
+        if train or not use_spm_cm():
+            return False
+        from dinounet_tpu.ops.decoder_tail_pallas import tail_supported
+
+        B, H, W, C = y.shape
+        return tail_supported((B, C, H, W))
+
+    def _stem23_cm(self, a1):
+        """stem2 -> BN -> ReLU -> stem3 -> BN -> ReLU, channel-major.
+
+        a1: (B, H, W, ip) — stem1's activated output. The stem2 BN+ReLU
+        rides stem3's kernel prologue (leaky slope 0 == ReLU); the stem3
+        BN+ReLU is applied on exit where XLA fuses it with the relayout."""
+        from dinounet_tpu.configuration import spm_cm_impl
+        from dinounet_tpu.ops.decoder_tail_pallas import conv3x3_cm
+
+        interp = spm_cm_impl() == "interpret"
+        ip = self.inplanes
+        k2 = _SPMConvParams(ip, name="stem2_conv")(ip)
+        g2, b2, m2, v2 = _SPMBNParams(name="stem2_bn")(ip)
+        k3 = _SPMConvParams(ip, name="stem3_conv")(ip)
+        g3, b3, m3, v3 = _SPMBNParams(name="stem3_bn")(ip)
+
+        B = a1.shape[0]
+        eps = 1e-5
+
+        def bn_apply(g, b, m, v):
+            s = g * jax.lax.rsqrt(v + eps)
+            t = b - m * s
+            return (jnp.broadcast_to(s[None], (B, ip)),
+                    jnp.broadcast_to(t[None], (B, ip)))
+
+        zeros = jnp.zeros((ip,), jnp.float32)
+        x_cm = jnp.transpose(a1.astype(self.dtype), (0, 3, 1, 2))
+        y2 = conv3x3_cm(x_cm, k2, zeros, interpret=interp, stats=False)
+        y3 = conv3x3_cm(y2, k3, zeros, prologue=bn_apply(g2, b2, m2, v2),
+                        leaky_slope=0.0, interpret=interp, stats=False)
+        s3, t3 = bn_apply(g3, b3, m3, v3)
+        y3f = (y3.astype(jnp.float32) * s3[:, :, None, None]
+               + t3[:, :, None, None])
+        return jnp.transpose(nn.relu(y3f), (0, 2, 3, 1))
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -445,8 +525,11 @@ class SpatialPriorModule(nn.Module):
 
         ip = self.inplanes
         y = cbr(x, ip, 2, "stem1")
-        y = cbr(y, ip, 1, "stem2")
-        y = cbr(y, ip, 1, "stem3")
+        if self._use_cm(y, train):
+            y = self._stem23_cm(y)
+        else:
+            y = cbr(y, ip, 1, "stem2")
+            y = cbr(y, ip, 1, "stem3")
         c1 = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         c2 = cbr(c1, 2 * ip, 2, "conv2")
         c3 = cbr(c2, 4 * ip, 2, "conv3")

@@ -64,7 +64,7 @@ def _shift_add(acc, bias):
 
 
 def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
-                 s_ref, t_ref, o_ref, sum_ref, ssq_ref):
+                 s_ref, t_ref, o_ref, sum_ref=None, ssq_ref=None):
     """One (batch, stripe) program of conv3x3 (+ optional input prologue).
 
     x: (1, Cin, R, W) current stripe rows; xp/xn: (1, Cin, 8, W) halo row
@@ -107,6 +107,7 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
     # K=Cin matmuls per chunk read dy-shifted views of the halo-extended
     # stripe (no copies)
     ch = min(_CHUNK_ROWS, R)
+    want_stats = sum_ref is not None
     psum = jnp.zeros((Cout,), jnp.float32)
     pssq = jnp.zeros((Cout,), jnp.float32)
     for r0 in range(0, R, ch):
@@ -119,11 +120,13 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
             acc = part if acc is None else acc + part
         out = _shift_add(acc.reshape(3, Cout, ch, W), bias)
         o_ref[0, :, r0:r0 + ch, :] = out.astype(cdt)
-        of = o_ref[0, :, r0:r0 + ch, :].astype(jnp.float32)
-        psum = psum + jnp.sum(of, axis=(1, 2))
-        pssq = pssq + jnp.sum(of * of, axis=(1, 2))
-    sum_ref[0, 0, 0] = psum
-    ssq_ref[0, 0, 0] = pssq
+        if want_stats:
+            of = o_ref[0, :, r0:r0 + ch, :].astype(jnp.float32)
+            psum = psum + jnp.sum(of, axis=(1, 2))
+            pssq = pssq + jnp.sum(of * of, axis=(1, 2))
+    if want_stats:
+        sum_ref[0, 0, 0] = psum
+        ssq_ref[0, 0, 0] = pssq
 
 
 def _seg_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
@@ -173,11 +176,13 @@ def _stack_conv_weights(w):
 
 
 def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
-               interpret: bool = False):
+               interpret: bool = False, stats: bool = True):
     """conv3x3(SAME, bias) over channel-major (B, Cin, H, W) input, with an
     optional fused input prologue `leaky(x * s + t)` (s/t (B, Cin) fp32 — the
     preceding InstanceNorm's apply). Returns (y (B, Cout, H, W) in x.dtype,
-    sum (B, Cout) f32, sumsq (B, Cout) f32) where the sums run over H*W of y.
+    sum (B, Cout) f32, sumsq (B, Cout) f32) where the sums run over H*W of y;
+    with stats=False (a consumer that needs no norm statistics, e.g. the SPM
+    stem whose BatchNorm uses running stats at inference) returns y alone.
     w: (3, 3, Cin, Cout) f32 (flax nn.Conv layout); b: (Cout,) f32."""
     B, Cin, H, W = x_cm.shape
     Cout = w.shape[-1]
@@ -207,7 +212,20 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
         (1, Cin, 8, W),
         lambda bi, i: (bi, 0, jnp.minimum((i + 1) * r8, H // 8 - 1), 0),
         memory_space=pltpu.VMEM)
-    y, ssum, ssq = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, Cout, R, W), lambda bi, i: (bi, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((B, Cout, H, W), x_cm.dtype)]
+    if stats:
+        stat_spec = pl.BlockSpec((1, 1, 1, Cout), lambda bi, i: (bi, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs += [stat_spec, stat_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
+        ]
+    res = pl.pallas_call(
         kern,
         grid=(B, n_stripes),
         in_specs=[
@@ -224,19 +242,8 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, Cout, R, W), lambda bi, i: (bi, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, Cout), lambda bi, i: (bi, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, Cout), lambda bi, i: (bi, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Cout, H, W), x_cm.dtype),
-            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
-        ],
+        out_specs=out_specs if stats else out_specs[0],
+        out_shape=out_shape if stats else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 9 * Cin * Cout,
             bytes_accessed=x_cm.dtype.itemsize * B * H * W * (Cin + Cout),
@@ -244,6 +251,9 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
         ),
         interpret=interpret,
     )(x_cm, x_cm, x_cm, ws, b.reshape(1, Cout), s, t)
+    if not stats:
+        return res
+    y, ssum, ssq = res
     return y, jnp.sum(ssum, axis=(1, 2)), jnp.sum(ssq, axis=(1, 2))
 
 

@@ -281,3 +281,77 @@ class TestDecoderIntegration:
         monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "interpret")
         out = dec.apply(dec.init(jax.random.PRNGKey(0), skips), skips)
         assert out.shape == (1, 96, 96, 2)
+
+
+class TestSPMStemCM:
+    """The SpatialPriorModule's channel-major stem2/stem3 fast path
+    (DINOUNET_TPU_SPM_CM) vs the plain flax graph — identical params and
+    running stats, inference semantics."""
+
+    @staticmethod
+    def _module_and_input(rng):
+        from dinounet_tpu.models.adapter import SpatialPriorModule
+
+        spm = SpatialPriorModule(inplanes=8, embed_dim=16, dtype=jnp.float32)
+        # stem2/stem3 run at 1/4 resolution: input 256 wide -> 128-lane maps
+        x = jnp.asarray(rng.standard_normal((2, 256, 256, 1)), jnp.float32)
+        return spm, x
+
+    @staticmethod
+    def _perturb_stats(variables, rng):
+        """Non-default running stats so the BN applies are actually tested."""
+        import flax
+
+        bs = flax.core.unfreeze(variables["batch_stats"])
+        for name in bs:
+            for key in bs[name]:
+                shape = bs[name][key].shape
+                off = jnp.asarray(rng.uniform(0.1, 1.0, shape), jnp.float32)
+                bs[name][key] = (bs[name][key] + off if key == "mean"
+                                 else bs[name][key] * (1.0 + off))
+        return {**variables, "batch_stats": bs}
+
+    def test_matches_flax_path(self, rng, monkeypatch):
+        spm, x = self._module_and_input(rng)
+        monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "jax")
+        v = spm.init(jax.random.PRNGKey(0), x)
+        v = self._perturb_stats(v, rng)
+        ref = spm.apply(v, x)
+
+        monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "interpret")
+        got = spm.apply(v, x)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_param_trees_interchangeable(self, rng, monkeypatch):
+        spm, x = self._module_and_input(rng)
+        monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "jax")
+        v_flax = spm.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "interpret")
+        v_cm = spm.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v_flax) == \
+            jax.tree_util.tree_structure(v_cm)
+        for a, b in zip(jax.tree_util.tree_leaves(v_flax),
+                        jax.tree_util.tree_leaves(v_cm)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_path_keeps_flax_graph(self, rng, monkeypatch):
+        """train=True must never engage the CM stem (batch-stat updates)."""
+        spm, x = self._module_and_input(rng)
+        monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "interpret")
+        v = spm.init(jax.random.PRNGKey(0), x, train=True)
+        out, mut = spm.apply(v, x, train=True, mutable=["batch_stats"])
+        # batch stats updated => the flax BatchNorm ran
+        before = v["batch_stats"]["stem2_bn"]["mean"]
+        after = mut["batch_stats"]["stem2_bn"]["mean"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_ineligible_shape_falls_back(self, rng, monkeypatch):
+        from dinounet_tpu.models.adapter import SpatialPriorModule
+
+        spm = SpatialPriorModule(inplanes=8, embed_dim=16, dtype=jnp.float32)
+        x = jnp.asarray(rng.standard_normal((1, 192, 192, 1)), jnp.float32)
+        monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "interpret")
+        outs = spm.apply(spm.init(jax.random.PRNGKey(0), x), x)
+        assert outs[0].shape == (1, 48, 48, 16)
