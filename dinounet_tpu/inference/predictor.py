@@ -213,15 +213,16 @@ class nnUNetPredictor:
             mirror_axes = (self.allowed_mirroring_axes if self.use_mirroring
                            else None)
             fwd = make_tile_batch_forward(
-                predictor.apply_fn, patch_size, num_classes,
-                mirror_axes=mirror_axes, use_gaussian=self.use_gaussian)
+                predictor.apply_fn, patch_size, mirror_axes=mirror_axes,
+                use_gaussian=self.use_gaussian)
+            # one accumulator pair across folds: logits add in place, the
+            # (fold-invariant) gaussian weights scatter only once
             accum_sum = weights = None
             for params in self.list_of_parameters:
-                accum, weights = _predict_host_accumulate(
+                accum_sum, weights = _predict_host_accumulate(
                     fwd, volume, None, np.asarray(offsets), patch_size,
                     num_classes, params, predictor.tile_batch,
-                    self.use_gaussian)
-                accum_sum = accum if accum_sum is None else accum_sum + accum
+                    self.use_gaussian, accum=accum_sum, weights=weights)
             n = len(self.list_of_parameters)
             return finalize_sliding_window_logits(
                 accum_sum, weights * n, revert, out_dtype=np.float16)

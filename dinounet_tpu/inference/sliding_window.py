@@ -421,7 +421,7 @@ def _accum_budget_bytes() -> int:
     return 8 << 30  # leave headroom out of a 16 GB v5e HBM
 
 
-def make_tile_batch_forward(apply_fn: Callable, patch_size, num_classes: int,
+def make_tile_batch_forward(apply_fn: Callable, patch_size,
                             mirror_axes=None, use_gaussian: bool = True,
                             with_target: bool = False):
     """Jitted forward over ONE batch of tiles, returning (weighted_logits,
@@ -472,15 +472,23 @@ def make_tile_batch_forward(apply_fn: Callable, patch_size, num_classes: int,
 
 def _predict_host_accumulate(predictor_fwd, volume, target_vol, offsets_np,
                              patch_size, num_classes, variables, tile_batch,
-                             use_gaussian):
-    """Host-side scatter-add over jit-predicted tile batches."""
+                             use_gaussian, accum=None, weights=None):
+    """Host-side scatter-add over jit-predicted tile batches.
+
+    Pass `accum`/`weights` from a previous call to accumulate a fold
+    ensemble into one buffer pair: logits add into `accum`, and the
+    (fold-invariant) weight scatter is skipped when `weights` is given —
+    the caller divides by weights * n_folds."""
     nd = len(patch_size)
     Z, Y, X, _ = volume.shape
     gaussian = np.asarray(compute_gaussian(tuple(patch_size)), np.float32)
     if not use_gaussian:
         gaussian = np.ones_like(gaussian)
-    accum = np.zeros((Z, Y, X, num_classes), np.float32)
-    weights = np.zeros((Z, Y, X, 1), np.float32)
+    scatter_weights = weights is None
+    if accum is None:
+        accum = np.zeros((Z, Y, X, num_classes), np.float32)
+    if weights is None:
+        weights = np.zeros((Z, Y, X, 1), np.float32)
     n = offsets_np.shape[0]
     for start in range(0, n, tile_batch):
         offs = offsets_np[start:start + tile_batch]
@@ -496,11 +504,13 @@ def _predict_host_accumulate(predictor_fwd, volume, target_vol, offsets_np,
             z, oy, ox = (int(v) for v in offsets_np[start + i])
             if nd == 2:
                 accum[z, oy:oy + patch_size[0], ox:ox + patch_size[1]] += weighted[i]
-                weights[z, oy:oy + patch_size[0], ox:ox + patch_size[1], 0] += gaussian
+                if scatter_weights:
+                    weights[z, oy:oy + patch_size[0], ox:ox + patch_size[1], 0] += gaussian
             else:
                 pd, ph, pw = patch_size
                 accum[z:z + pd, oy:oy + ph, ox:ox + pw] += weighted[i]
-                weights[z:z + pd, oy:oy + ph, ox:ox + pw, 0] += gaussian
+                if scatter_weights:
+                    weights[z:z + pd, oy:oy + ph, ox:ox + pw, 0] += gaussian
     return accum, weights
 
 
@@ -551,7 +561,7 @@ def predict_sliding_window_return_logits(
         else:
             fn = predictor.apply_fn  # prebuilt predictor carries its apply_fn
         fwd = make_tile_batch_forward(
-            fn, patch_size, num_classes, mirror_axes=mirror_axes,
+            fn, patch_size, mirror_axes=mirror_axes,
             use_gaussian=use_gaussian, with_target=with_target)
         accum, weights = _predict_host_accumulate(
             fwd, volume, target_vol, np.asarray(offsets), tuple(patch_size),

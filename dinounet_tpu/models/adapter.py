@@ -213,6 +213,13 @@ class MSDeformAttn(nn.Module):
 
         sizes = np.array([[w, h] for (h, w) in value_spatial_shapes],
                          dtype=np.float32)  # (L, 2) = (W_l, H_l)
+        # the premapped base-grid fold assumes batch-constant, single-level
+        # reference points (the DINOv3Adapter's constant deform_inputs grid);
+        # static shape guard so other callers fail loudly instead of sampling
+        # from batch 0's points everywhere
+        assert reference_points.shape[0] == 1 and reference_points.shape[2] == 1, (
+            "premapped MSDA requires batch-constant level-0 reference points, "
+            f"got shape {reference_points.shape}")
         refx = reference_points[0, :, 0, 0]  # (Lq,) normalized
         refy = reference_points[0, :, 0, 1]
         base_x = jnp.repeat(refx[None, :] * sizes[:, 0:1] - 0.5, P, axis=0)

@@ -240,7 +240,9 @@ def _premapped_bwd(spatial_shapes, interpret, out_dtype, res, g):
     value_t, xs, ys, aw = res
     gv, ga, gx, gy = _backward_premapped(
         value_t, spatial_shapes, xs, ys, aw, g.astype(jnp.float32), interpret)
-    return gv, gx, gy, ga
+    # cotangent dtypes must match the primals (value_t may be bf16; the
+    # col2im kernel accumulates f32)
+    return gv.astype(value_t.dtype), gx, gy, ga
 
 
 ms_deform_attn_pallas_premapped.defvjp(_premapped_fwd, _premapped_bwd)
@@ -401,7 +403,7 @@ def _premapped_fused_bwd(spatial_shapes, interpret, out_dtype, res, g):
                 ).astype(logits.dtype)
     g_off = jnp.stack([gx, gy], axis=3).reshape(B, M, 2 * LP, Lq
                                                 ).astype(off.dtype)
-    return gv, g_off, g_logits, jnp.zeros_like(base)
+    return gv.astype(value_t.dtype), g_off, g_logits, jnp.zeros_like(base)
 
 
 ms_deform_attn_pallas_premapped_fused.defvjp(_premapped_fused_fwd,

@@ -240,7 +240,11 @@ def comp_blosc2_params(
     spatial = [pow2_ceil(p) for p in patch]
     while channels * np.prod(spatial) * bytes_per_pixel > l1_budget:
         order = np.argsort([s / p for s, p in zip(spatial, patch)])[::-1]
-        ax = next(a for a in order if spatial[a] > 1)
+        ax = next((a for a in order if spatial[a] > 1), None)
+        if ax is None:
+            # channels alone exceed the budget: (c, 1, 1, 1) is the minimal
+            # block — settle for it rather than raising
+            break
         spatial[ax] = 2 ** max(0, math.floor(math.log2(spatial[ax] - 1)))
         spatial[ax] = min(spatial[ax], image_size[ax + 1])
     blocks = tuple(min(i, j) for i, j in zip(image_size, (channels, *spatial)))

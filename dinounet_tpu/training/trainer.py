@@ -796,29 +796,64 @@ class nnUNetTrainer:
         """ref :1108-1144."""
         if not self.was_initialized:
             self.initialize()
-        checkpoint = (
-            load_checkpoint(filename_or_checkpoint)
-            if isinstance(filename_or_checkpoint, str) else filename_or_checkpoint
-        )
-        self.variables = jax.tree.map(jnp.asarray, checkpoint["network_weights"])
-        if checkpoint.get("optimizer_state") is not None:
-            from dinounet_tpu.training.checkpointing import (
-                maybe_unflatten_opt_state,
+        if (isinstance(filename_or_checkpoint, str)
+                and os.path.isdir(filename_or_checkpoint)):
+            # sharded orbax checkpoint (written by model-axis runs): restore
+            # each array straight onto its mesh placement via an abstract
+            # template built from the live (already-sharded) state — the
+            # host-numpy path would gather a 7B state to one host and then
+            # materialize it unsharded on the default device
+            checkpoint = self._load_sharded_checkpoint_onto_mesh(
+                filename_or_checkpoint)
+            self.variables = checkpoint["network_weights"]
+            if checkpoint.get("optimizer_state") is not None:
+                self.opt_state = checkpoint["optimizer_state"]
+        else:
+            checkpoint = (
+                load_checkpoint(filename_or_checkpoint)
+                if isinstance(filename_or_checkpoint, str)
+                else filename_or_checkpoint
             )
+            self.variables = jax.tree.map(jnp.asarray, checkpoint["network_weights"])
+            if checkpoint.get("optimizer_state") is not None:
+                from dinounet_tpu.training.checkpointing import (
+                    maybe_unflatten_opt_state,
+                )
 
-            template = self.tx.init(self.variables["params"])
-            opt_state = maybe_unflatten_opt_state(
-                checkpoint["optimizer_state"], template)
-            self.opt_state = jax.tree.map(
-                lambda t, s: jnp.asarray(s).astype(t.dtype) if hasattr(t, "dtype") else s,
-                template, opt_state,
-            )
+                template = self.tx.init(self.variables["params"])
+                opt_state = maybe_unflatten_opt_state(
+                    checkpoint["optimizer_state"], template)
+                self.opt_state = jax.tree.map(
+                    lambda t, s: jnp.asarray(s).astype(t.dtype) if hasattr(t, "dtype") else s,
+                    template, opt_state,
+                )
         self.logger.load_checkpoint(checkpoint["logging"])
         self._best_ema = checkpoint["_best_ema"]
         self.current_epoch = checkpoint["current_epoch"]
         self.inference_allowed_mirroring_axes = checkpoint.get(
             "inference_allowed_mirroring_axes"
         )
+
+    def _load_sharded_checkpoint_onto_mesh(self, directory: str) -> dict:
+        """Restore a sharded orbax checkpoint with every array placed on its
+        current-mesh sharding (the live variables/opt-state placements serve
+        as the abstract template; orbax reshards on read if the writing run
+        used a different topology)."""
+        from dinounet_tpu.training.checkpointing import load_checkpoint_sharded
+
+        def abstract(tree):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                               sharding=a.sharding)
+                if hasattr(a, "sharding") else a,
+                tree,
+            )
+
+        template = {
+            "network_weights": abstract(self.variables),
+            "optimizer_state": abstract(self.tx.init(self.variables["params"])),
+        }
+        return load_checkpoint_sharded(directory, template)
 
     # --------------------------------------------------- final validation
 

@@ -71,3 +71,26 @@ def test_predict_from_list_of_npy_arrays(rng):
         # z-score normalization preserves the sign structure around the mean
         z = (img[0] - img[0].mean()) / (img[0].std() + 1e-8)
         np.testing.assert_array_equal(np.asarray(seg), (z > 0).astype(seg.dtype))
+
+
+def test_fold_ensemble_host_accumulation_matches_device(rng, monkeypatch):
+    """The predictor's memory-escape-hatch fold loop (one shared accumulator
+    pair, weights scattered once) must match the on-device fold averaging."""
+    pm = PlansManager(PLANS)
+
+    def make_predictor():
+        p = nnUNetPredictor(use_mirroring=False)
+        p.manual_initialization(
+            ThresholdNet(), pm, pm.get_configuration("2d"),
+            [{"params": {"w": jnp.ones((1,), jnp.float32)}},
+             {"params": {"w": 3.0 * jnp.ones((1,), jnp.float32)}}],
+            DATASET_JSON, "nnUNetTrainer", None)
+        return p
+
+    data = rng.standard_normal((1, 1, 50, 70)).astype(np.float32)
+    dev = make_predictor().predict_logits_from_preprocessed_data(data)
+    monkeypatch.setenv("DINOUNET_TPU_SW_ACCUM_BUDGET_BYTES", "0")
+    host = make_predictor().predict_logits_from_preprocessed_data(data)
+    np.testing.assert_allclose(np.asarray(host, np.float32),
+                               np.asarray(dev, np.float32),
+                               rtol=1e-3, atol=1e-3)

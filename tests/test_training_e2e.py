@@ -376,6 +376,20 @@ def test_trainer_gspmd_model_axis(tmp_path, monkeypatch):
     trainer2.num_epochs = 1
     trainer2.load_checkpoint(final)
     assert trainer2.current_epoch == 1
+    # the sharded restore must place arrays straight onto the mesh (template
+    # path) rather than materializing a gathered copy on one device — the
+    # whole point of the orbax format for a 14 GB 7B state
+    from jax.sharding import NamedSharding
+
+    for leaf in jax.tree.leaves(trainer2.variables["params"]):
+        assert isinstance(leaf, jax.Array)
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert leaf.sharding.mesh.shape["model"] == 2
+    for r, g in zip(jax.tree.leaves(trainer.variables["params"]),
+                    jax.tree.leaves(trainer2.variables["params"])):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g))
+    opt_leaves = jax.tree.leaves(trainer2.opt_state)
+    assert all(isinstance(x, jax.Array) for x in opt_leaves)
 
 
 def test_trainer_3d_smoke(tmp_path, monkeypatch):
