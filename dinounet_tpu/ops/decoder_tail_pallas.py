@@ -71,7 +71,7 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
     windows — Mosaic needs >=8-row blocks, so the neighbor stripes' edge
     8-row windows arrive (block-index clamped at the image boundary) and the
     single halo row is sliced here; w: (3*Cin, 3*Cout) f32 stacked as
-    [(dy, cin), (dx, cout)]; b: (1, Cout); s/t: (1, Cin) per-(sample,
+    [(dy, cin), (dx, cout)]; b: (1, Cout); s/t: (1, 1, Cin) per-(sample,
     channel) input prologue x*s + t followed by leaky_relu (the previous
     InstanceNorm's apply; s=1, t=0, slope=None for the raw first conv);
     o: (1, Cout, R, W); sum/ssq: (1, 1, 1, Cout) stripe partial sums of the
@@ -86,8 +86,8 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
     # (Cin, R+2, W)
 
     if leaky_slope is not None:
-        xf = x.astype(jnp.float32) * s_ref[0][:, None, None] \
-            + t_ref[0][:, None, None]
+        xf = x.astype(jnp.float32) * s_ref[0, 0][:, None, None] \
+            + t_ref[0, 0][:, None, None]
         x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
 
     # the conv's zero padding applies to the (prologue-activated) feature
@@ -131,11 +131,11 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
 
 def _seg_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     """Final 1x1 seg head over the IN-applied, leaky-activated features.
-    x: (1, C, R, W); w: (C, K) f32; b: (1, K); s/t: (1, C) IN apply.
+    x: (1, C, R, W); w: (C, K) f32; b: (1, K); s/t: (1, 1, C) IN apply.
     o: (1, K, R, W) fp32 logits."""
     C, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    xf = x_ref[0].astype(jnp.float32) * s_ref[0][:, None, None] \
-        + t_ref[0][:, None, None]
+    xf = x_ref[0].astype(jnp.float32) * s_ref[0, 0][:, None, None] \
+        + t_ref[0, 0][:, None, None]
     xf = jnp.where(xf >= 0, xf, xf * leaky_slope)
     x = xf.astype(x_ref.dtype).reshape(C, R * W)
     out = jax.lax.dot_general(
@@ -237,9 +237,9 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if stats else out_specs[0],
@@ -250,7 +250,8 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, x_cm, x_cm, ws, b.reshape(1, Cout), s, t)
+    )(x_cm, x_cm, x_cm, ws, b.reshape(1, Cout),
+      s.reshape(B, 1, Cin), t.reshape(B, 1, Cin))
     if not stats:
         return res
     y, ssum, ssq = res
@@ -279,9 +280,9 @@ def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, C), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, C), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, K, R, W), lambda bi, i: (bi, 0, i, 0),
@@ -293,7 +294,7 @@ def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, w, b.reshape(1, K), s, t)
+    )(x_cm, w, b.reshape(1, K), s.reshape(B, 1, C), t.reshape(B, 1, C))
 
 
 def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
@@ -302,7 +303,7 @@ def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     (the previous InstanceNorm's apply — lets CM decoder stages chain
     without materializing the activated map). x: (1, Cin, R, W); w:
     (Cin, 4*Cout) stacked [(cin), (p, q, cout)]; b: (1, Cout); s/t:
-    (1, Cin); o: (1, Cout, 2R, 2W).
+    (1, 1, Cin); o: (1, Cout, 2R, 2W).
 
     k2s2 transpconv = four phase matmuls (one full-MXU M=4*Cout dot) +
     spatial interleave: out[c, 2j+p, 2x+q] = ph[(p, q, c), j, x] + b."""
@@ -311,8 +312,8 @@ def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     cdt = o_ref.dtype
     x = x_ref[0]
     if leaky_slope is not None:
-        xf = x.astype(jnp.float32) * s_ref[0][:, None, None] \
-            + t_ref[0][:, None, None]
+        xf = x.astype(jnp.float32) * s_ref[0, 0][:, None, None] \
+            + t_ref[0, 0][:, None, None]
         x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
     ph = jax.lax.dot_general(
         w_ref[...].astype(x_ref.dtype), x.reshape(Cin, R * W),
@@ -360,9 +361,9 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin), lambda bi, i: (bi, 0),
+            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Cout, 2 * R, 2 * W),
@@ -375,7 +376,8 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, ws, b.reshape(1, Cout), s, t)
+    )(x_cm, ws, b.reshape(1, Cout),
+      s.reshape(B, 1, Cin), t.reshape(B, 1, Cin))
 
 
 def instance_norm_apply_params(ssum, ssq, n, gamma, beta, eps=1e-5):
