@@ -174,3 +174,51 @@ def test_full_model_inference_export(monkeypatch):
         jax.jit(lambda v, x: model.apply(v, x, train=False)),
         platforms=["tpu"],
     )(variables, x)
+
+
+def test_full_model_train_step_export(monkeypatch):
+    """Export the training forward+backward (value_and_grad through the
+    remat'd adapter and the Pallas custom VJPs) in the TPU kernel
+    configuration — the lowering gate for the trainer's hot step."""
+    monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "pallas")
+    monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "pallas")
+    monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "pallas")
+    monkeypatch.setenv("DINOUNET_TPU_MSDA_PREP", "fused")
+
+    from dinounet_tpu.models.dinounet import (
+        DINOV3_INTERACTION_INDEXES,
+        DINOV3_MODEL_NAMES,
+        DinoUNet,
+        DinoUNetConfig,
+    )
+    from dinounet_tpu.models.vit import VIT_CONFIGS
+    from dinounet_tpu.training.losses import dc_and_ce_loss
+
+    cfg = DinoUNetConfig(
+        vit=VIT_CONFIGS[DINOV3_MODEL_NAMES["dinounet_s"]],
+        interaction_indexes=DINOV3_INTERACTION_INDEXES["dinounet_s"],
+        num_classes=3,
+    )
+    model = DinoUNet(cfg)
+    x = S((2, 512, 512, 1), BF)
+    seg = S((2, 512, 512), jnp.int32)
+    variables = jax.eval_shape(
+        lambda k, x: model.init(k, x, train=True),
+        jax.random.PRNGKey(0), x)
+
+    def step(variables, x, seg):
+        def loss_of(params):
+            out, mut = model.apply(
+                {**variables, "params": params}, x, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            if isinstance(out, (list, tuple)):
+                out = out[0]
+            return dc_and_ce_loss(out, seg), mut["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            variables["params"])
+        return loss, grads, bs
+
+    export.export(jax.jit(step), platforms=["tpu"])(variables, x, seg)
