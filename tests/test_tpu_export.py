@@ -222,3 +222,34 @@ def test_full_model_train_step_export(monkeypatch):
         return loss, grads, bs
 
     export.export(jax.jit(step), platforms=["tpu"])(variables, x, seg)
+
+
+def test_dinounet_7b_inference_export(monkeypatch):
+    """dinounet_7b exercises the kernel configurations the smaller models
+    don't: head dim 128 in the attention kernel, SwiGLU FFN (plain dense
+    path), 32 MSDA heads."""
+    monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "pallas")
+    monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "pallas")
+
+    from dinounet_tpu.models.dinounet import (
+        DINOV3_INTERACTION_INDEXES,
+        DINOV3_MODEL_NAMES,
+        DinoUNet,
+        DinoUNetConfig,
+    )
+    from dinounet_tpu.models.vit import VIT_CONFIGS
+
+    cfg = DinoUNetConfig(
+        vit=VIT_CONFIGS[DINOV3_MODEL_NAMES["dinounet_7b"]],
+        interaction_indexes=DINOV3_INTERACTION_INDEXES["dinounet_7b"],
+        num_classes=3,
+    )
+    model = DinoUNet(cfg)
+    x = S((1, 512, 512, 1), BF)
+    variables = jax.eval_shape(
+        lambda k, x: model.init(k, x, train=False),
+        jax.random.PRNGKey(0), x)
+    export.export(
+        jax.jit(lambda v, x: model.apply(v, x, train=False)),
+        platforms=["tpu"],
+    )(variables, x)
