@@ -119,13 +119,16 @@ def main():
         if (impl, prep) not in impls:
             impls.append((impl, prep))
     win = None
-    for tail, spm, dense in tiers:
-        os.environ["DINOUNET_TPU_DECODER_TAIL"] = tail
-        os.environ["DINOUNET_TPU_SPM_CM"] = spm
-        os.environ["DINOUNET_TPU_DENSE_IMPL"] = dense
-        for impl, prep in impls:
-            os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
-            os.environ["DINOUNET_TPU_MSDA_PREP"] = prep
+    # outer loop = MSDA impl (dropping the Pallas MSDA kernel costs ~8x and
+    # must be the LAST resort); inner loop = the conv-chain/dense knobs,
+    # which are cheap to give up
+    for impl, prep in impls:
+        os.environ["DINOUNET_TPU_MSDA_IMPL"] = impl
+        os.environ["DINOUNET_TPU_MSDA_PREP"] = prep
+        for tail, spm, dense in tiers:
+            os.environ["DINOUNET_TPU_DECODER_TAIL"] = tail
+            os.environ["DINOUNET_TPU_SPM_CM"] = spm
+            os.environ["DINOUNET_TPU_DENSE_IMPL"] = dense
             for batch in batches:
                 try:
                     value = run(batch)

@@ -71,11 +71,15 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
     windows — Mosaic needs >=8-row blocks, so the neighbor stripes' edge
     8-row windows arrive (block-index clamped at the image boundary) and the
     single halo row is sliced here; w: (3*Cin, 3*Cout) f32 stacked as
-    [(dy, cin), (dx, cout)]; b: (1, Cout); s/t: (1, 1, Cin) per-(sample,
-    channel) input prologue x*s + t followed by leaky_relu (the previous
-    InstanceNorm's apply; s=1, t=0, slope=None for the raw first conv);
-    o: (1, Cout, R, W); sum/ssq: (1, 1, 1, Cout) stripe partial sums of the
-    output (fp32, for the next InstanceNorm)."""
+    [(dy, cin), (dx, cout)]; b: (Cout, 1, 1); s/t: (1, Cin, 1, 1)
+    per-(sample, channel) input prologue x*s + t followed by leaky_relu (the
+    previous InstanceNorm's apply; s=1, t=0, slope=None for the raw first
+    conv) — shaped so the kernel broadcasts unit minor dims instead of a
+    lane-moving (1, 1, C) -> (C, 1, 1) reshape, which Mosaic's
+    infer-vector-layout rejects on hardware;
+    o: (1, Cout, R, W); sum/ssq: (1, 1, Cout, 1) stripe partial sums of the
+    output (fp32, for the next InstanceNorm) — kept 2-D in-kernel (1-D
+    vectors crash Mosaic's layout inference)."""
     i = pl.program_id(1)
     Cin, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     Cout = o_ref.shape[1]
@@ -86,8 +90,7 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
     # (Cin, R+2, W)
 
     if leaky_slope is not None:
-        xf = x.astype(jnp.float32) * s_ref[0, 0][:, None, None] \
-            + t_ref[0, 0][:, None, None]
+        xf = x.astype(jnp.float32) * s_ref[0] + t_ref[0]
         x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
 
     # the conv's zero padding applies to the (prologue-activated) feature
@@ -101,15 +104,18 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
     ], axis=1)
 
     w = w_ref[...].astype(cdt).reshape(3, Cin, 3 * Cout)
-    bias = b_ref[...].astype(jnp.float32).reshape(Cout, 1, 1)
+    # bias arrives (Cout, 1, 1) from the host: broadcasting unit minor dims
+    # is legal in Mosaic where a (1, Cout) -> (Cout, 1, 1) lane-moving
+    # reshape is not
+    bias = b_ref[...].astype(jnp.float32)
 
     # row chunks keep the f32 (3*Cout, CH*W) accumulator small; the three
     # K=Cin matmuls per chunk read dy-shifted views of the halo-extended
     # stripe (no copies)
     ch = min(_CHUNK_ROWS, R)
     want_stats = sum_ref is not None
-    psum = jnp.zeros((Cout,), jnp.float32)
-    pssq = jnp.zeros((Cout,), jnp.float32)
+    psum = jnp.zeros((Cout, 1), jnp.float32)
+    pssq = jnp.zeros((Cout, 1), jnp.float32)
     for r0 in range(0, R, ch):
         acc = None
         for dy in range(3):
@@ -122,28 +128,28 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
         o_ref[0, :, r0:r0 + ch, :] = out.astype(cdt)
         if want_stats:
             of = o_ref[0, :, r0:r0 + ch, :].astype(jnp.float32)
-            psum = psum + jnp.sum(of, axis=(1, 2))
-            pssq = pssq + jnp.sum(of * of, axis=(1, 2))
+            # two-stage reduction keeps every vector >= 2-D for Mosaic
+            psum = psum + jnp.sum(jnp.sum(of, axis=2), axis=1, keepdims=True)
+            pssq = pssq + jnp.sum(jnp.sum(of * of, axis=2), axis=1,
+                                  keepdims=True)
     if want_stats:
-        sum_ref[0, 0, 0] = psum
-        ssq_ref[0, 0, 0] = pssq
+        sum_ref[0, 0] = psum
+        ssq_ref[0, 0] = pssq
 
 
 def _seg_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     """Final 1x1 seg head over the IN-applied, leaky-activated features.
-    x: (1, C, R, W); w: (C, K) f32; b: (1, K); s/t: (1, 1, C) IN apply.
+    x: (1, C, R, W); w: (C, K) f32; b: (K, 1, 1); s/t: (1, C, 1, 1) IN apply.
     o: (1, K, R, W) fp32 logits."""
     C, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    xf = x_ref[0].astype(jnp.float32) * s_ref[0, 0][:, None, None] \
-        + t_ref[0, 0][:, None, None]
+    xf = x_ref[0].astype(jnp.float32) * s_ref[0] + t_ref[0]
     xf = jnp.where(xf >= 0, xf, xf * leaky_slope)
     x = xf.astype(x_ref.dtype).reshape(C, R * W)
     out = jax.lax.dot_general(
         w_ref[...].astype(x_ref.dtype), x, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (K, R*W)
     K = o_ref.shape[1]
-    o_ref[0] = out.reshape(K, R, W) \
-        + b_ref[...].astype(jnp.float32).reshape(K, 1, 1)
+    o_ref[0] = out.reshape(K, R, W) + b_ref[...]
 
 
 _CHUNK_ROWS = 8  # inner accumulator rows: f32 (3*Cout, 8*W) stays ~1.6 MB
@@ -218,12 +224,12 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
     ]
     out_shape = [jax.ShapeDtypeStruct((B, Cout, H, W), x_cm.dtype)]
     if stats:
-        stat_spec = pl.BlockSpec((1, 1, 1, Cout), lambda bi, i: (bi, i, 0, 0),
+        stat_spec = pl.BlockSpec((1, 1, Cout, 1), lambda bi, i: (bi, i, 0, 0),
                                  memory_space=pltpu.VMEM)
         out_specs += [stat_spec, stat_spec]
         out_shape += [
-            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_stripes, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_stripes, Cout, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_stripes, Cout, 1), jnp.float32),
         ]
     res = pl.pallas_call(
         kern,
@@ -235,11 +241,11 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             next_spec,
             pl.BlockSpec((3 * Cin, 3 * Cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda bi, i: (0, 0),
+            pl.BlockSpec((Cout, 1, 1), lambda bi, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if stats else out_specs[0],
@@ -250,12 +256,12 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, x_cm, x_cm, ws, b.reshape(1, Cout),
-      s.reshape(B, 1, Cin), t.reshape(B, 1, Cin))
+    )(x_cm, x_cm, x_cm, ws, b.reshape(Cout, 1, 1),
+      s.reshape(B, Cin, 1, 1), t.reshape(B, Cin, 1, 1))
     if not stats:
         return res
     y, ssum, ssq = res
-    return y, jnp.sum(ssum, axis=(1, 2)), jnp.sum(ssq, axis=(1, 2))
+    return y, jnp.sum(ssum, axis=(1, 3)), jnp.sum(ssq, axis=(1, 3))
 
 
 def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
@@ -278,11 +284,11 @@ def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, K), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda bi, i: (0, 0),
+            pl.BlockSpec((K, 1, 1), lambda bi, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, C, 1, 1), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, C, 1, 1), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, K, R, W), lambda bi, i: (bi, 0, i, 0),
@@ -294,7 +300,8 @@ def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, w, b.reshape(1, K), s.reshape(B, 1, C), t.reshape(B, 1, C))
+    )(x_cm, w, b.astype(jnp.float32).reshape(K, 1, 1),
+      s.reshape(B, C, 1, 1), t.reshape(B, C, 1, 1))
 
 
 def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
@@ -302,25 +309,29 @@ def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     channel-major layout, with an optional `leaky(x*s + t)` input prologue
     (the previous InstanceNorm's apply — lets CM decoder stages chain
     without materializing the activated map). x: (1, Cin, R, W); w:
-    (Cin, 4*Cout) stacked [(cin), (p, q, cout)]; b: (1, Cout); s/t:
-    (1, 1, Cin); o: (1, Cout, 2R, 2W).
+    (Cin, 4*Cout) stacked [(cin), (p, q, cout)]; b: (4*Cout, 1); s/t:
+    (1, Cin, 1, 1); o: (1, Cout, 2R, 2W).
 
     k2s2 transpconv = four phase matmuls (one full-MXU M=4*Cout dot) +
-    spatial interleave: out[c, 2j+p, 2x+q] = ph[(p, q, c), j, x] + b."""
+    spatial interleave: out[c, 2j+p, 2x+q] = ph[(p, q, c), j, x] + b.
+
+    The bias arrives pre-stacked as (4*Cout, 1) and is added to the 2-D
+    matmul result by lane broadcast — Mosaic rejects reshapes that move the
+    lane dimension into the middle of a higher-rank vector (the original
+    (1, Cout) -> (1, 1, Cout, 1, 1) bias cast failed infer-vector-layout on
+    real TPU hardware)."""
     Cin, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     Cout = o_ref.shape[1]
     cdt = o_ref.dtype
     x = x_ref[0]
     if leaky_slope is not None:
-        xf = x.astype(jnp.float32) * s_ref[0, 0][:, None, None] \
-            + t_ref[0, 0][:, None, None]
+        xf = x.astype(jnp.float32) * s_ref[0] + t_ref[0]
         x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
     ph = jax.lax.dot_general(
         w_ref[...].astype(x_ref.dtype), x.reshape(Cin, R * W),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(2, 2, Cout, R, W) + b_ref[...].astype(jnp.float32).reshape(
-        1, 1, Cout, 1, 1)
-    ph = ph.astype(cdt)
+    ) + b_ref[...].astype(jnp.float32)  # (4*Cout, R*W) + (4*Cout, 1)
+    ph = ph.astype(cdt).reshape(2, 2, Cout, R, W)
     # lane interleave (q): (..., W, 2) -> (..., 2W); then row interleave (p)
     rows = []
     for p in range(2):
@@ -359,11 +370,11 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Cin, 4 * Cout), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda bi, i: (0, 0),
+            pl.BlockSpec((4 * Cout, 1), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cin), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Cout, 2 * R, 2 * W),
@@ -376,8 +387,8 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, ws, b.reshape(1, Cout),
-      s.reshape(B, 1, Cin), t.reshape(B, 1, Cin))
+    )(x_cm, ws, jnp.tile(b, 4).reshape(4 * Cout, 1),
+      s.reshape(B, Cin, 1, 1), t.reshape(B, Cin, 1, 1))
 
 
 def instance_norm_apply_params(ssum, ssq, n, gamma, beta, eps=1e-5):
