@@ -331,13 +331,16 @@ def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
         w_ref[...].astype(x_ref.dtype), x.reshape(Cin, R * W),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) + b_ref[...].astype(jnp.float32)  # (4*Cout, R*W) + (4*Cout, 1)
-    ph = ph.astype(cdt).reshape(2, 2, Cout, R, W)
+    # The interleave stays f32 until the final store: Mosaic's minor-dim
+    # insertion (the stack's expand_dims) is only legal for 32-bit types
+    # (hardware round-2 failure: bf16 (Cout, R, W) -> (Cout, R, W, 1)).
+    ph = ph.reshape(2, 2, Cout, R, W)
     # lane interleave (q): (..., W, 2) -> (..., 2W); then row interleave (p)
     rows = []
     for p in range(2):
         wide = jnp.stack([ph[p, 0], ph[p, 1]], axis=-1).reshape(Cout, R, 2 * W)
         rows.append(wide)
-    o_ref[0] = jnp.stack(rows, axis=2).reshape(Cout, 2 * R, 2 * W)
+    o_ref[0] = jnp.stack(rows, axis=2).reshape(Cout, 2 * R, 2 * W).astype(cdt)
 
 
 def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
