@@ -304,13 +304,15 @@ def seg_head_cm(x_cm, w, b, prologue, leaky_slope=0.01,
       s.reshape(B, C, 1, 1), t.reshape(B, C, 1, 1))
 
 
-def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
+def _transpconv_kernel(leaky_slope, packed, x_ref, w_ref, b_ref, s_ref,
+                       t_ref, o_ref):
     """One (batch, stripe) program of a kernel=stride=2 transposed conv in
     channel-major layout, with an optional `leaky(x*s + t)` input prologue
     (the previous InstanceNorm's apply — lets CM decoder stages chain
     without materializing the activated map). x: (1, Cin, R, W); w:
     (Cin, 4*Cout) stacked [(cin), (p, q, cout)]; b: (4*Cout, 1); s/t:
-    (1, Cin, 1, 1); o: (1, Cout, 2R, 2W).
+    (1, Cin, 1, 1); o: packed -> (1, Cout, 2R, W) uint32 (bf16 pairs),
+    else (1, Cout, 2R, 2W) compute dtype.
 
     k2s2 transpconv = four phase matmuls (one full-MXU M=4*Cout dot) +
     spatial interleave: out[c, 2j+p, 2x+q] = ph[(p, q, c), j, x] + b.
@@ -319,28 +321,53 @@ def _transpconv_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     matmul result by lane broadcast — Mosaic rejects reshapes that move the
     lane dimension into the middle of a higher-rank vector (the original
     (1, Cout) -> (1, 1, Cout, 1, 1) bias cast failed infer-vector-layout on
-    real TPU hardware)."""
+    real TPU hardware).
+
+    The column (q) interleave is the hard part: Mosaic cannot lower a
+    (..., W, 2) -> (..., 2W) lane-moving shape cast (the round-2 hardware
+    failure: `tpu.reshape vector<32x16x128x2xf32> -> vector<32x16x1x256xf32>`,
+    BENCH_r02.json). With a bf16 output, the interleave is instead done as a
+    LANE-LOCAL bit pack (tools/probe_interleave.py, strategy D): round both
+    phases to bf16, place q=0 in the low 16 bits and q=1 in the high 16 bits
+    of a uint32 lane, and let the caller bit-view the (.., W) uint32 output
+    as (.., 2W) bf16 — which XLA performs as a free layout-preserving
+    bitcast+reshape. The row (p) interleave is a sublane-dim stack+reshape,
+    which Mosaic lowers fine (probe strategy E)."""
     Cin, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     Cout = o_ref.shape[1]
-    cdt = o_ref.dtype
+    cdt = jnp.bfloat16 if packed else o_ref.dtype
     x = x_ref[0]
     if leaky_slope is not None:
         xf = x.astype(jnp.float32) * s_ref[0] + t_ref[0]
         x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
     ph = jax.lax.dot_general(
-        w_ref[...].astype(x_ref.dtype), x.reshape(Cin, R * W),
+        w_ref[...].astype(x.dtype), x.reshape(Cin, R * W),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) + b_ref[...].astype(jnp.float32)  # (4*Cout, R*W) + (4*Cout, 1)
-    # The interleave stays f32 until the final store: Mosaic's minor-dim
-    # insertion (the stack's expand_dims) is only legal for 32-bit types
-    # (hardware round-2 failure: bf16 (Cout, R, W) -> (Cout, R, W, 1)).
     ph = ph.reshape(2, 2, Cout, R, W)
-    # lane interleave (q): (..., W, 2) -> (..., 2W); then row interleave (p)
-    rows = []
-    for p in range(2):
-        wide = jnp.stack([ph[p, 0], ph[p, 1]], axis=-1).reshape(Cout, R, 2 * W)
-        rows.append(wide)
-    o_ref[0] = jnp.stack(rows, axis=2).reshape(Cout, 2 * R, 2 * W).astype(cdt)
+    if packed:
+        def pack(a, b):
+            # uint32 lane = bf16(b) << 16 | bf16(a); the bf16->f32 round
+            # trip is exact, so the high 16 bits of the f32 pattern ARE the
+            # RNE-rounded bf16 bits
+            ua = pltpu.bitcast(
+                a.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32)
+            ub = pltpu.bitcast(
+                b.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32)
+            return (ub & jnp.uint32(0xFFFF0000)) | (ua >> 16)
+
+        rows = [pack(ph[p, 0], ph[p, 1]) for p in range(2)]
+        o_ref[0] = jnp.stack(rows, axis=2).reshape(Cout, 2 * R, W)
+    else:
+        # interpret-mode / non-bf16 fallback: plain stack+reshape interleave
+        # (numerically identical; does not lower on real TPU hardware)
+        rows = []
+        for p in range(2):
+            wide = jnp.stack([ph[p, 0], ph[p, 1]],
+                             axis=-1).reshape(Cout, R, 2 * W)
+            rows.append(wide)
+        o_ref[0] = jnp.stack(rows, axis=2).reshape(
+            Cout, 2 * R, 2 * W).astype(o_ref.dtype)
 
 
 def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
@@ -352,6 +379,24 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
     b: (Cout,) f32 (pass zeros when bias-free)."""
     B, Cin, H, W = x_cm.shape
     Cout = w.shape[-1]
+    if W % 128 != 0:
+        # Narrow maps (the chain's lowest-res entry, e.g. 64^2 for a 512^2
+        # tile) can't merge (R, W) into the lane dim — Mosaic rejects the
+        # (Cin, R, W) -> (Cin, R*W) shape cast unless W fills whole 128-lane
+        # tiles. These inputs are tiny (<2% of the chain's FLOPs), so run
+        # them XLA-side with the same rounding points as the kernel: bf16
+        # conv, one f32 bias add, single round to the compute dtype.
+        x = x_cm
+        if prologue is not None:
+            s, t = prologue
+            xf = (x.astype(jnp.float32) * s[:, :, None, None]
+                  + t[:, :, None, None])
+            x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(x_cm.dtype)
+        y = jax.lax.conv_transpose(
+            x, w.astype(x.dtype), (2, 2), "VALID",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            preferred_element_type=jnp.float32)
+        return (y + b[None, :, None, None]).astype(x_cm.dtype)
     R = _pick_stripe(H, vmem_rows=16)
     assert R is not None and H % R == 0, (H, R)
     n_stripes = H // R
@@ -365,8 +410,24 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
     # lax.conv_transpose flips the kernel spatially: out phase (p, q) reads
     # K[1-p, 1-q] (verified against flax TransposedConv with a delta input)
     ws = jnp.transpose(w[::-1, ::-1], (2, 0, 1, 3)).reshape(Cin, 4 * Cout)
-    return pl.pallas_call(
-        functools.partial(_transpconv_kernel, slope),
+    # bf16 output -> the lane (q) interleave runs as an in-kernel bit pack
+    # into uint32 lanes (the only interleave Mosaic lowers on hardware; see
+    # _transpconv_kernel) and the pairs are bit-viewed back here, which XLA
+    # compiles to a free bitcast (layout-preserving). Other dtypes keep the
+    # stack+reshape interleave, which only runs in interpret mode.
+    packed = x_cm.dtype == jnp.bfloat16
+    if packed:
+        out_spec = pl.BlockSpec((1, Cout, 2 * R, W),
+                                lambda bi, i: (bi, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, Cout, 2 * H, W), jnp.uint32)
+    else:
+        out_spec = pl.BlockSpec((1, Cout, 2 * R, 2 * W),
+                                lambda bi, i: (bi, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, Cout, 2 * H, 2 * W), x_cm.dtype)
+    y = pl.pallas_call(
+        functools.partial(_transpconv_kernel, slope, packed),
         grid=(B, n_stripes),
         in_specs=[
             pl.BlockSpec((1, Cin, R, W), lambda bi, i: (bi, 0, i, 0),
@@ -380,10 +441,8 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Cout, 2 * R, 2 * W),
-                               lambda bi, i: (bi, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Cout, 2 * H, 2 * W), x_cm.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * 4 * Cin * Cout,
             bytes_accessed=x_cm.dtype.itemsize * B * H * W * (Cin + 4 * Cout),
@@ -392,6 +451,18 @@ def transpconv2x2_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
         interpret=interpret,
     )(x_cm, ws, jnp.tile(b, 4).reshape(4 * Cout, 1),
       s.reshape(B, Cin, 1, 1), t.reshape(B, Cin, 1, 1))
+    if packed:
+        # bit-view the u32 pairs back to interleaved bf16. The f32-view
+        # formulation (low half << 16 / masked high half are exactly the f32
+        # patterns of the two bf16 values) measures at copy cost on TPU,
+        # where bitcast_convert_type(u32 -> bf16[..., 2]) costs an extra
+        # layout pass (microbench: +0.16 vs +0.62 ms on the 512^2 stage).
+        lo = jax.lax.bitcast_convert_type(
+            y << 16, jnp.float32).astype(jnp.bfloat16)
+        hi = jax.lax.bitcast_convert_type(
+            y & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)
+        y = jnp.stack([lo, hi], axis=-1).reshape(B, Cout, 2 * H, 2 * W)
+    return y
 
 
 def instance_norm_apply_params(ssum, ssq, n, gamma, beta, eps=1e-5):

@@ -9,9 +9,12 @@ Usage: python tools/probe_tail_kernels.py [--full]
   --full also runs the 512^2 shapes of the real decoder (slower compiles).
 """
 
+import os
 import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
