@@ -1,0 +1,85 @@
+"""Serial A/B measurement matrix over the kernel knobs (VERDICT r2 item 10).
+
+Round 2 left its queued A/B plan in /tmp where it outlived the session; this
+is the in-repo, driver-runnable version. Each configuration is measured in
+its own subprocess (bench.measure_tier — a wedged relay or Mosaic failure
+cannot contaminate the next row), results below the sanity floor are flagged
+environment-suspect, and everything is written as JSON so conclusions can be
+drawn (or rejected) later from the artifact alone.
+
+Usage:
+    python tools/ab_matrix.py [--out .bench_logs/ab_r3.json] [--quick]
+
+--quick runs only the headline pair (full kernel chain vs plain XLA).
+"""
+
+import argparse
+import datetime
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import LAST_KNOWN_GOOD, SUSPECT_FRACTION, measure_tier  # noqa: E402
+
+# name -> env knobs. "auto" engages the Pallas kernels on TPU.
+FULL_MATRIX = {
+    "plain":     {"DINOUNET_TPU_DECODER_TAIL": "jax", "DINOUNET_TPU_SPM_CM": "jax",
+                  "DINOUNET_TPU_MSDA_PREP": "xla"},
+    "prep":      {"DINOUNET_TPU_DECODER_TAIL": "jax", "DINOUNET_TPU_SPM_CM": "jax",
+                  "DINOUNET_TPU_MSDA_PREP": "fused"},
+    "tail":      {"DINOUNET_TPU_DECODER_TAIL": "auto", "DINOUNET_TPU_SPM_CM": "jax",
+                  "DINOUNET_TPU_MSDA_PREP": "fused"},
+    "spm":       {"DINOUNET_TPU_DECODER_TAIL": "jax", "DINOUNET_TPU_SPM_CM": "auto",
+                  "DINOUNET_TPU_MSDA_PREP": "fused"},
+    "tail+spm":  {"DINOUNET_TPU_DECODER_TAIL": "auto", "DINOUNET_TPU_SPM_CM": "auto",
+                  "DINOUNET_TPU_MSDA_PREP": "fused"},
+}
+QUICK_MATRIX = {k: FULL_MATRIX[k] for k in ("plain", "tail+spm")}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=".bench_logs/ab_matrix.json")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch", type=int,
+                    default=int(os.environ.get("DINOUNET_TPU_BENCH_BATCH", 8)))
+    ap.add_argument("--model", default=os.environ.get(
+        "DINOUNET_TPU_BENCH_MODEL", "dinounet_b"))
+    args = ap.parse_args()
+
+    floor = SUSPECT_FRACTION * LAST_KNOWN_GOOD.get(args.model, 0.0)
+    matrix = QUICK_MATRIX if args.quick else FULL_MATRIX
+    rows = []
+    for name, knobs in matrix.items():
+        knobs = dict(knobs, DINOUNET_TPU_BENCH_MODEL=args.model)
+        print(f"=== {name}: {knobs} ===", flush=True)
+        value, err = measure_tier(knobs, args.batch)
+        row = {"name": name, "knobs": knobs, "batch": args.batch}
+        if value is None:
+            row["error"] = err
+            print(f"  FAILED: {err}", flush=True)
+        else:
+            row["patches_per_sec"] = round(value, 2)
+            row["environment_suspect"] = bool(floor and value < floor)
+            print(f"  {value:.2f} p/s"
+                  + (" [ENVIRONMENT-SUSPECT]" if row["environment_suspect"]
+                     else ""), flush=True)
+        rows.append(row)
+
+    out = {
+        "model": args.model,
+        "batch": args.batch,
+        "sanity_floor": floor,
+        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
