@@ -54,10 +54,12 @@ def msda_fused_prep() -> bool:
     DMA bytes. The backward recomputes the prep XLA-side and chain-rules the
     softmax analytically.
 
-    Env DINOUNET_TPU_MSDA_PREP in {"fused", "xla"}; default "xla" until the
-    A/B on hardware lands (flip the default here if it wins). Only consulted
-    on the premapped Pallas path."""
-    return os.environ.get("DINOUNET_TPU_MSDA_PREP", "xla") == "fused"
+    Env DINOUNET_TPU_MSDA_PREP in {"fused", "xla"}; default "fused" — the
+    round-2 hardware A/B measured 147.99 vs 145.71 p/s end-to-end
+    (.bench_logs/ab_results.txt) with exact-parity + VJP tests green
+    (tests/test_msda.py::TestFusedPrep). Only consulted on the premapped
+    Pallas path."""
+    return os.environ.get("DINOUNET_TPU_MSDA_PREP", "fused") == "fused"
 
 
 def vit_int8() -> bool:
@@ -115,8 +117,14 @@ def decoder_tail_impl() -> str:
 
     DINOUNET_TPU_DECODER_TAIL in {"auto", "pallas", "interpret", "jax"}:
     "auto" uses the Pallas kernels on TPU and the plain flax path elsewhere.
-    """
-    impl = os.environ.get("DINOUNET_TPU_DECODER_TAIL", "auto")
+
+    Default "jax": the round-3 hardware A/B measured the chain SLOWER than
+    XLA end-to-end (136.9 vs 147.8 p/s for dinounet_b once it lowered —
+    BASELINE.md "negative results"; the conv kernels run at ~7% MFU against
+    their 37% M=96/K=64 MXU ceiling and the packed-transpconv bit-view
+    costs an extra XLA pass). Kept opt-in + lowering-gated rather than
+    deleted so the measurement is reproducible (tools/ab_matrix.py)."""
+    impl = os.environ.get("DINOUNET_TPU_DECODER_TAIL", "jax")
     if impl in ("pallas", "interpret", "jax"):
         return impl
     return "pallas" if use_pallas_msda() else "jax"
@@ -135,8 +143,13 @@ def spm_cm_impl() -> str:
     folded into the kernel prologues; inference-only (training keeps flax).
 
     DINOUNET_TPU_SPM_CM in {"auto", "pallas", "interpret", "jax"}.
-    """
-    impl = os.environ.get("DINOUNET_TPU_SPM_CM", "auto")
+
+    Default "jax": the round-3 hardware A/B measured the CM stem slower
+    end-to-end (143.3 vs 147.8 p/s; the two CM kernels take 1.86 ms vs
+    XLA's fused stem convs plus the boundary relayouts — BASELINE.md
+    "negative results"). Opt-in + lowering-gated, same rationale as
+    decoder_tail_impl."""
+    impl = os.environ.get("DINOUNET_TPU_SPM_CM", "jax")
     if impl in ("pallas", "interpret", "jax"):
         return impl
     return "pallas" if use_pallas_msda() else "jax"

@@ -233,12 +233,19 @@ class TestModuleBranchParity:
         )
         from dinounet_tpu.ops import msda_pallas
 
-        # route the premapped kernel through interpret mode on CPU
+        # route the premapped kernels through interpret mode on CPU (both
+        # entries: DINOUNET_TPU_MSDA_PREP defaults to "fused" since round 3)
         orig = msda_pallas._forward_premapped
         monkeypatch.setattr(
             msda_pallas, "_forward_premapped",
             lambda v, s, xs, ys, aw, interp=False, out_dtype=jnp.float32:
                 orig(v, s, xs, ys, aw, True, out_dtype))
+        orig_fused = msda_pallas._forward_premapped_fused
+        monkeypatch.setattr(
+            msda_pallas, "_forward_premapped_fused",
+            lambda v, s, off, logits, base, interp=False,
+            out_dtype=jnp.float32:
+                orig_fused(v, s, off, logits, base, True, out_dtype))
 
         B, Lq, E = 2, 21, 32
         shapes = ((4, 4),)
