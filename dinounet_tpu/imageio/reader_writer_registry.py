@@ -10,6 +10,7 @@ from typing import Optional, Type
 from dinounet_tpu.imageio.base import BaseReaderWriter
 from dinounet_tpu.imageio.natural_image import NaturalImage2DIO
 from dinounet_tpu.imageio.nifti import NiftiIO
+from dinounet_tpu.imageio.sitk_formats import SimpleITKIO, SitkFormatsIO
 from dinounet_tpu.imageio.tiff import Tiff3DIO
 from dinounet_tpu.utilities import registry
 
@@ -17,12 +18,15 @@ from dinounet_tpu.utilities import registry
 registry.image_readers.add("NiftiIO", NiftiIO)
 registry.image_readers.add("NaturalImage2DIO", NaturalImage2DIO)
 registry.image_readers.add("Tiff3DIO", Tiff3DIO)
-# reference aliases kept for plans/dataset.json compatibility
-registry.image_readers.add("SimpleITKIO", NiftiIO)
+registry.image_readers.add("SitkFormatsIO", SitkFormatsIO)
+# reference aliases kept for plans/dataset.json compatibility; SimpleITKIO
+# covers the reference's full ending set (.nii.gz/.nii/.nrrd/.mha) by
+# per-extension delegation (ref simpleitk_reader_writer.py:23-27)
+registry.image_readers.add("SimpleITKIO", SimpleITKIO)
 registry.image_readers.add("NibabelIO", NiftiIO)
 registry.image_readers.add("NibabelIOWithReorient", NiftiIO)
 
-LIST_OF_IO_CLASSES = [NiftiIO, NaturalImage2DIO, Tiff3DIO]
+LIST_OF_IO_CLASSES = [NiftiIO, NaturalImage2DIO, Tiff3DIO, SitkFormatsIO]
 
 
 def determine_reader_writer_from_dataset_json(
