@@ -71,8 +71,22 @@ def vit_int8() -> bool:
     Opt-in via DINOUNET_TPU_VIT_INT8=1: the accuracy impact on REAL published
     checkpoints cannot be validated in this environment (no egress), so this
     must stay off until a deployment validates Dice parity on its own data.
-    Bound on random weights: see tests/test_vit_parity.py::TestInt8Mode."""
+    Bound on random weights: see tests/test_vit_parity.py::TestInt8Mode.
+
+    On the fused dense path the mode uses the in-kernel w8a8 quantization
+    (ops/dense_q8_pallas.py) so it keeps the stats-threaded block chain; with
+    DINOUNET_TPU_DENSE_IMPL=jax it falls back to the unfused QuantDense."""
     return os.environ.get("DINOUNET_TPU_VIT_INT8", "0") == "1"
+
+
+def int8_qkv() -> bool:
+    """Whether the int8 serving mode also quantizes the QKV projection
+    (XLA-side int8 einsum straight into the premapped per-head layout,
+    ops/dense_q8_pallas.py::qkv_q8_premapped). DINOUNET_TPU_INT8_QKV=0 keeps
+    the qkv einsum bf16 — an A/B knob because XLA's int8 handling of the
+    transposed-write einsum is hardware-generation-dependent. Only consulted
+    when vit_int8() is on and the premapped fused path is active."""
+    return os.environ.get("DINOUNET_TPU_INT8_QKV", "1") == "1"
 
 
 def use_fused_attention() -> bool:
@@ -95,12 +109,11 @@ def fused_dense_impl() -> str:
     DINOUNET_TPU_DENSE_IMPL in {"auto", "pallas", "interpret", "jax"}:
     "auto" uses the Pallas kernel (ops/dense_stats_pallas.py) on TPU and the
     plain flax path elsewhere; "interpret" runs the kernel in interpreter mode
-    (CPU model-path tests); "jax" forces the unfused flax path. int8 serving
-    mode always uses the flax path (QuantDense replaces the matmuls).
+    (CPU model-path tests); "jax" forces the unfused flax path. Under int8
+    serving mode the fused path swaps in the w8a8 kernels
+    (ops/dense_q8_pallas.py); "jax" + int8 is the unfused QuantDense path.
     """
     impl = os.environ.get("DINOUNET_TPU_DENSE_IMPL", "auto")
-    if vit_int8():
-        return "jax"
     if impl in ("pallas", "interpret", "jax"):
         return impl
     return "pallas" if use_pallas_msda() else "jax"

@@ -246,7 +246,7 @@ class Attention(nn.Module):
             use_fused_attention, use_fused_dense, vit_int8)
 
         if (use_fused_attention() and use_fused_dense()
-                and not vit_int8() and residual is not None):
+                and residual is not None):
             # (requires the stats-threaded fused dense path: ~60% of the
             # premapped win is relayout cost that only pays off when the
             # channel-major fused projection consumes the kernel output
@@ -270,17 +270,41 @@ class Attention(nn.Module):
 
             interp = fused_dense_impl() == "interpret"
             k_q, b_q = _DenseParams(3 * C, cfg.qkv_bias, name="qkv")(C)
-            qkv_t = jnp.einsum("bnc,cpmd->bpmnd", x,
-                               k_q.reshape(C, 3, M, Dh).astype(cdt))
-            if cfg.qkv_bias:
-                qkv_t = qkv_t + b_q.reshape(3, M, 1, Dh).astype(cdt)
+            if vit_int8():
+                # int8 serving mode on the premapped path: the qkv einsum
+                # rides the MXU's double-rate int8 path (opt-out knob), the
+                # attention kernel stays bf16, and the output projection runs
+                # the channel-major w8a8 kernel (ops/dense_q8_pallas.py).
+                from dinounet_tpu.configuration import int8_qkv
+                from dinounet_tpu.ops.dense_q8_pallas import qkv_q8_premapped
+
+                if int8_qkv():
+                    qkv_t = qkv_q8_premapped(
+                        x, k_q, b_q if cfg.qkv_bias else None, M, Dh)
+                else:
+                    qkv_t = jnp.einsum("bnc,cpmd->bpmnd", x,
+                                       k_q.reshape(C, 3, M, Dh).astype(cdt))
+                    if cfg.qkv_bias:
+                        qkv_t = qkv_t + b_q.reshape(3, M, 1, Dh).astype(cdt)
+            else:
+                qkv_t = jnp.einsum("bnc,cpmd->bpmnd", x,
+                                   k_q.reshape(C, 3, M, Dh).astype(cdt))
+                if cfg.qkv_bias:
+                    qkv_t = qkv_t + b_q.reshape(3, M, 1, Dh).astype(cdt)
             sin, cos = rope if rope is not None else (None, None)
             o_t = fused_rope_attention_premapped(qkv_t, sin, cos,
                                                  interpret=interp)
+            k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
+            if vit_int8():
+                from dinounet_tpu.ops.dense_q8_pallas import (
+                    dense_cm_q8_residual_stats)
+
+                return dense_cm_q8_residual_stats(
+                    o_t.reshape(B, C, N), k_p, b_p, residual, ls_gamma,
+                    interpret=interp)
             from dinounet_tpu.ops.dense_stats_pallas import (
                 dense_cm_residual_stats)
 
-            k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
             return dense_cm_residual_stats(
                 o_t.reshape(B, C, N), k_p, b_p, residual, ls_gamma,
                 interpret=interp)
@@ -327,9 +351,17 @@ class Attention(nn.Module):
             return _backbone_dense(C, cfg.proj_bias, cdt, "proj")(o)
 
         from dinounet_tpu.configuration import fused_dense_impl
-        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
 
         k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
+        if vit_int8():
+            from dinounet_tpu.ops.dense_q8_pallas import (
+                dense_q8_residual_stats)
+
+            return dense_q8_residual_stats(
+                o, k_p, b_p, residual, ls_gamma, prologue="none",
+                interpret=fused_dense_impl() == "interpret")
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
         return dense_residual_stats(
             o, k_p, b_p, residual, ls_gamma,
             apply_gelu=False, interpret=fused_dense_impl() == "interpret")
@@ -346,19 +378,34 @@ class Mlp(nn.Module):
                  ls_gamma: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         cdt = jnp.dtype(cfg.dtype)
-        h = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "fc1")(x)
         if residual is None:
+            h = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "fc1")(x)
             h = nn.gelu(h, approximate=False)
             return _backbone_dense(cfg.embed_dim, cfg.ffn_bias, cdt, "fc2")(h)
 
-        from dinounet_tpu.configuration import fused_dense_impl
-        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+        from dinounet_tpu.configuration import fused_dense_impl, vit_int8
 
+        interp = fused_dense_impl() == "interpret"
         k_p, b_p = _DenseParams(cfg.embed_dim, cfg.ffn_bias, name="fc2")(
             cfg.ffn_hidden)
+        if vit_int8():
+            # int8 fused path: fc1 quantizes in-kernel (no XLA quant passes),
+            # fc2 runs GELU prologue + w8a8 dot + residual + next-LN stats
+            from dinounet_tpu.ops.dense_q8_pallas import (
+                dense_q8, dense_q8_residual_stats)
+
+            k_1, b_1 = _DenseParams(cfg.ffn_hidden, cfg.ffn_bias,
+                                    name="fc1")(cfg.embed_dim)
+            h = dense_q8(x, k_1, b_1, prologue="none", interpret=interp)
+            return dense_q8_residual_stats(
+                h, k_p, b_p, residual, ls_gamma, prologue="gelu",
+                interpret=interp)
+        h = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "fc1")(x)
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
         return dense_residual_stats(
             h, k_p, b_p, residual, ls_gamma,
-            apply_gelu=True, interpret=fused_dense_impl() == "interpret")
+            apply_gelu=True, interpret=interp)
 
 
 class SwiGLU(nn.Module):

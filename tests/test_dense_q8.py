@@ -1,0 +1,286 @@
+"""int8 fused dense kernels (ops/dense_q8_pallas) — the w8a8 serving twins of
+the dense+residual+LN-stats kernels.
+
+Runs the Pallas kernels in interpreter mode on CPU against the pure-jnp
+reference formulations, checks the channel-major and row-major forms agree,
+and runs the full int8 fused DinoViT path against both the unfused QuantDense
+int8 path (same quantization scheme — must agree closely) and the fp path
+(bounded int8 deviation, same budget as tests/test_vit_parity.py::TestInt8Mode).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _rand(rng, shape, dtype=jnp.bfloat16, scale=1.0):
+    return jnp.asarray(rng.normal(size=shape) * scale, dtype)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestRowMajorKernels:
+    @pytest.mark.parametrize("prologue", ["none", "gelu"])
+    @pytest.mark.parametrize("shape", [(2, 21, 64, 48),    # row block > N
+                                       (1, 64, 128, 64),   # divisible rows
+                                       (2, 1029, 96, 64)])  # the tile N, ragged
+    def test_dense_q8_matches_reference(self, rng, prologue, shape):
+        from dinounet_tpu.ops.dense_q8_pallas import _reference_q8, dense_q8
+
+        B, N, K, D = shape
+        h = _rand(rng, (B, N, K))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        out = dense_q8(h, w, b, prologue=prologue, interpret=True)
+        ref = _reference_q8(h, w, b, prologue)
+        # quantization boundaries are knife-edge: a 1-ulp difference in the
+        # in-kernel scale division (or the A&S-vs-lax erf for the gelu
+        # prologue) can flip an int8 level, so the contract is a one-level
+        # deviation bound, not bit equality (unlike the bf16 kernels)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+    @pytest.mark.parametrize("prologue", ["none", "gelu"])
+    def test_residual_stats_matches_reference(self, rng, prologue):
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            _reference_q8_stats, dense_q8_residual_stats)
+
+        B, N, K, D = 2, 45, 64, 48
+        h = _rand(rng, (B, N, K))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        res = _rand(rng, (B, N, D))
+        g = _rand(rng, (D,), jnp.float32, 0.01)
+        out, mu, var = dense_q8_residual_stats(h, w, b, res, g,
+                                               prologue=prologue,
+                                               interpret=True)
+        ro, rmu, rvar = _reference_q8_stats(h, w, b, res, g, prologue)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ro, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(rmu), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(rvar),
+                                   atol=4e-3)
+
+    def test_stats_describe_output(self, rng):
+        """mean/var must be usable as LayerNorm stats of the returned tensor."""
+        from dinounet_tpu.ops.dense_q8_pallas import dense_q8_residual_stats
+
+        h = _rand(rng, (2, 24, 32))
+        w = _rand(rng, (32, 48), jnp.float32, 0.1)
+        b = jnp.zeros((48,), jnp.float32)
+        res = _rand(rng, (2, 24, 48))
+        g = _rand(rng, (48,), jnp.float32, 0.01)
+        out, mu, var = dense_q8_residual_stats(h, w, b, res, g,
+                                               interpret=True)
+        of = np.asarray(out, np.float32)
+        np.testing.assert_allclose(np.asarray(mu), of.mean(-1), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(var), of.var(-1), atol=4e-3)
+
+    def test_quantization_matches_quantdense(self, rng):
+        """Same w8a8 scheme as models/vit.py::QuantDense — the fused and
+        unfused int8 paths must produce the same linear-layer output."""
+        from dinounet_tpu.models.vit import QuantDense
+        from dinounet_tpu.ops.dense_q8_pallas import dense_q8
+
+        x = jnp.asarray(rng.standard_normal((2, 37, 96)), jnp.float32)
+        qd = QuantDense(48, dtype=jnp.float32)
+        variables = qd.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(qd.apply(variables, x))
+        got = np.asarray(dense_q8(
+            x, variables["params"]["kernel"], variables["params"]["bias"],
+            prologue="none", interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_custom_vjp_matches_reference(self, rng):
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            _reference_q8_stats, dense_q8_residual_stats)
+
+        h = _rand(rng, (1, 16, 32))
+        w = _rand(rng, (32, 24), jnp.float32, 0.1)
+        b = _rand(rng, (24,), jnp.float32, 0.1)
+        res = _rand(rng, (1, 16, 24))
+        g = _rand(rng, (24,), jnp.float32, 0.01)
+
+        def loss_kernel(res_, g_):
+            o, m, v = dense_q8_residual_stats(h, w, b, res_, g_,
+                                              prologue="gelu", interpret=True)
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(m) + jnp.sum(v))
+
+        def loss_ref(res_, g_):
+            o, m, v = _reference_q8_stats(h, w, b, res_, g_, "gelu")
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(m) + jnp.sum(v))
+
+        gr, gg = jax.grad(loss_kernel, argnums=(0, 1))(res, g)
+        rr, rg = jax.grad(loss_ref, argnums=(0, 1))(res, g)
+        np.testing.assert_allclose(np.asarray(gr, np.float32),
+                                   np.asarray(rr, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=0.05, atol=0.05)
+
+
+class TestChannelMajorKernel:
+    @pytest.mark.parametrize("shape", [(2, 32, 48, 64),    # lane block > N
+                                       (1, 64, 256, 128),  # divisible tokens
+                                       (2, 48, 84, 96)])   # ragged tokens
+    def test_matches_reference(self, rng, shape):
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            _reference_cm_q8_stats, dense_cm_q8_residual_stats)
+
+        B, K, N, D = shape
+        h_t = _rand(rng, (B, K, N))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        res = _rand(rng, (B, N, D))
+        g = _rand(rng, (D,), jnp.float32, 0.01)
+        out, mu, var = dense_cm_q8_residual_stats(h_t, w, b, res, g,
+                                                  interpret=True)
+        ro, rmu, rvar = _reference_cm_q8_stats(h_t, w, b, res, g)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ro, np.float32))
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(rmu), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(rvar),
+                                   atol=4e-3)
+
+    def test_agrees_with_row_major_kernel(self, rng):
+        """Channel-major (XLA-side quant) and row-major (in-kernel quant) see
+        the same f32 activations, so their int8 levels — and outputs — must
+        be identical on the transposed input."""
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            dense_cm_q8_residual_stats, dense_q8_residual_stats)
+
+        B, K, N, D = 2, 32, 40, 48
+        h_t = _rand(rng, (B, K, N))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        res = _rand(rng, (B, N, D))
+        g = _rand(rng, (D,), jnp.float32, 0.01)
+        o1, m1, v1 = dense_cm_q8_residual_stats(h_t, w, b, res, g,
+                                                interpret=True)
+        o2, m2, v2 = dense_q8_residual_stats(
+            jnp.swapaxes(h_t, 1, 2), w, b, res, g, prologue="none",
+            interpret=True)
+        # XLA-side vs in-kernel quantization: same formulation, but 1-ulp
+        # scale-division differences can flip knife-edge int8 levels
+        np.testing.assert_allclose(np.asarray(o1, np.float32),
+                                   np.asarray(o2, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=4e-3)
+
+
+class TestQkvPremapped:
+    def test_matches_quantdense_layout(self, rng):
+        """The int8 premapped qkv must equal QuantDense's output rearranged
+        into the attention kernel's (B, 3, M, N, Dh) layout (same scheme,
+        modulo f32-vs-compute-dtype bias-add rounding)."""
+        from dinounet_tpu.models.vit import QuantDense
+        from dinounet_tpu.ops.dense_q8_pallas import qkv_q8_premapped
+
+        B, N, C, M = 2, 21, 64, 4
+        Dh = C // M
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        qd = QuantDense(3 * C, dtype=jnp.float32)
+        variables = qd.init(jax.random.PRNGKey(0), x)
+        flat = qd.apply(variables, x)  # (B, N, 3C)
+        want = np.asarray(flat).reshape(B, N, 3, M, Dh).transpose(0, 2, 3, 1, 4)
+        got = np.asarray(qkv_q8_premapped(
+            x, variables["params"]["kernel"], variables["params"]["bias"],
+            M, Dh))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestModelPath:
+    def _setup(self, rng):
+        from dinounet_tpu.models.vit import DinoViT, ViTConfig
+
+        cfg = ViTConfig(embed_dim=64, depth=3, num_heads=2, ffn_ratio=2,
+                        patch_size=16)
+        model = DinoViT(cfg)
+        x = _rand(rng, (2, 64, 64, 3), jnp.float32)
+        return model, x
+
+    def test_int8_fused_matches_int8_unfused(self, rng, monkeypatch):
+        """Full int8 premapped fused chain (qkv int8 einsum + bf16 attention
+        kernel + cm w8a8 projection + w8a8 fc1/fc2, interpret mode) vs the
+        unfused QuantDense path: same quantization scheme, so they must agree
+        to a few bf16 ulps. Param trees identical (shared checkpoints)."""
+        model, x = self._setup(rng)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "jax")
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "jax")
+        v1 = model.init(jax.random.PRNGKey(0), x, (0, 1, 2))
+        ref = model.apply(v1, x, (0, 1, 2))
+
+        monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "pallas")
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        v2 = model.init(jax.random.PRNGKey(0), x, (0, 1, 2))
+        import jax.tree_util as jtu
+        p1 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v1)}
+        p2 = {jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v2)}
+        assert p1 == p2
+
+        got = model.apply(v1, x, (0, 1, 2))
+        for (pr, cr), (pg, cg) in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(pg, np.float32),
+                                       np.asarray(pr, np.float32),
+                                       rtol=0.05, atol=0.05)
+            np.testing.assert_allclose(np.asarray(cg, np.float32),
+                                       np.asarray(cr, np.float32),
+                                       rtol=0.05, atol=0.05)
+
+    def test_int8_fused_close_to_fp(self, rng, monkeypatch):
+        """Same deviation budget as TestInt8Mode: cosine > 0.995 vs the fp
+        fused path on random weights."""
+        model, x = self._setup(rng)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "0")
+        monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "pallas")
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        variables = model.init(jax.random.PRNGKey(0), x, (2,))
+        (ref_tokens, _), = model.apply(variables, x, (2,))
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        (q_tokens, _), = model.apply(variables, x, (2,))
+
+        a = np.asarray(ref_tokens, np.float32).ravel()
+        b = np.asarray(q_tokens, np.float32).ravel()
+        assert np.all(np.isfinite(b))
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.995, cos
+
+    def test_int8_qkv_optout(self, rng, monkeypatch):
+        """DINOUNET_TPU_INT8_QKV=0 keeps the qkv einsum bf16 inside the int8
+        fused path — output stays finite and close to the full-int8 variant."""
+        model, x = self._setup(rng)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "pallas")
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        variables = model.init(jax.random.PRNGKey(0), x, (2,))
+        (full, _), = model.apply(variables, x, (2,))
+
+        monkeypatch.setenv("DINOUNET_TPU_INT8_QKV", "0")
+        (mixed, _), = model.apply(variables, x, (2,))
+        a = np.asarray(full, np.float32).ravel()
+        b = np.asarray(mixed, np.float32).ravel()
+        assert np.all(np.isfinite(b))
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.995, cos
+
+    def test_int8_no_longer_forces_unfused(self, monkeypatch):
+        from dinounet_tpu import configuration
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "pallas")
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        assert configuration.fused_dense_impl() == "pallas"
+        assert configuration.use_fused_dense()

@@ -165,12 +165,16 @@ class TestModelPath:
             np.testing.assert_allclose(np.asarray(cg, np.float32),
                                        np.asarray(cr, np.float32), atol=0.03)
 
-    def test_int8_mode_forces_unfused(self, monkeypatch):
+    def test_int8_mode_keeps_fused_path(self, monkeypatch):
+        """Round 3: int8 serving mode no longer forces the unfused path — it
+        swaps the w8a8 kernels (ops/dense_q8_pallas.py) into the fused chain;
+        DINOUNET_TPU_DENSE_IMPL=jax remains the QuantDense fallback."""
         from dinounet_tpu import configuration
 
         monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "pallas")
         monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
-        assert configuration.fused_dense_impl() == "jax"
+        assert configuration.fused_dense_impl() == "pallas"
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "jax")
         assert not configuration.use_fused_dense()
 
 

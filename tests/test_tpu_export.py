@@ -127,6 +127,36 @@ class TestDenseAttentionExports:
             S((2, 128, 256), BF), S((128, 128), F32), S((128,), F32),
             S((2, 256, 128), BF), S((128,), F32))
 
+    def test_dense_q8_family(self):
+        """The w8a8 serving kernels (round 3): export-lower fwd + the grads
+        that a whole-graph linearization would request."""
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            dense_cm_q8_residual_stats,
+            dense_q8,
+            dense_q8_residual_stats,
+        )
+
+        tpu_export(
+            lambda h, w, b: dense_q8(h, w, b, prologue="none"),
+            S((2, 256, 128), BF), S((128, 128), F32), S((128,), F32))
+        tpu_export(
+            lambda h, w, b, r, g: dense_q8_residual_stats(
+                h, w, b, r, g, prologue="gelu"),
+            S((2, 256, 128), BF), S((128, 128), F32), S((128,), F32),
+            S((2, 256, 128), BF), S((128,), F32))
+        tpu_export(
+            lambda h, w, b, r, g: dense_cm_q8_residual_stats(h, w, b, r, g),
+            S((2, 128, 256), BF), S((128, 128), F32), S((128,), F32),
+            S((2, 256, 128), BF), S((128,), F32))
+
+        def loss(h, w, b, r, g):
+            o, m, v = dense_q8_residual_stats(h, w, b, r, g, prologue="gelu")
+            return jnp.sum(o.astype(jnp.float32)) + jnp.sum(m) + jnp.sum(v)
+
+        tpu_export(jax.grad(loss, argnums=(3, 4)),
+                   S((2, 256, 128), BF), S((128, 128), F32), S((128,), F32),
+                   S((2, 256, 128), BF), S((128,), F32))
+
     def test_fused_rope_attention_both_layouts(self):
         from dinounet_tpu.ops.attention_pallas import (
             fused_rope_attention,
@@ -151,6 +181,40 @@ def test_full_model_inference_export(monkeypatch):
     monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "pallas")
     monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "pallas")
     monkeypatch.setenv("DINOUNET_TPU_MSDA_PREP", "fused")
+
+    from dinounet_tpu.models.dinounet import (
+        DINOV3_INTERACTION_INDEXES,
+        DINOV3_MODEL_NAMES,
+        DinoUNet,
+        DinoUNetConfig,
+    )
+    from dinounet_tpu.models.vit import VIT_CONFIGS
+
+    cfg = DinoUNetConfig(
+        vit=VIT_CONFIGS[DINOV3_MODEL_NAMES["dinounet_s"]],
+        interaction_indexes=DINOV3_INTERACTION_INDEXES["dinounet_s"],
+        num_classes=3,
+    )
+    model = DinoUNet(cfg)
+    x = S((2, 512, 512, 1), BF)
+    variables = jax.eval_shape(
+        lambda k, x: model.init(k, x, train=False),
+        jax.random.PRNGKey(0), x)
+    export.export(
+        jax.jit(lambda v, x: model.apply(v, x, train=False)),
+        platforms=["tpu"],
+    )(variables, x)
+
+
+def test_full_model_int8_inference_export(monkeypatch):
+    """The int8 serving mode's whole-graph lowering gate: the w8a8 fused
+    chain (int8 qkv einsum + bf16 attention kernel + q8 projections) through
+    the full flagship forward."""
+    monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "pallas")
+    monkeypatch.setenv("DINOUNET_TPU_ATTN_IMPL", "pallas")
+    monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "pallas")
+    monkeypatch.setenv("DINOUNET_TPU_MSDA_PREP", "fused")
+    monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
 
     from dinounet_tpu.models.dinounet import (
         DINOV3_INTERACTION_INDEXES,

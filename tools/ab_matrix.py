@@ -38,6 +38,20 @@ FULL_MATRIX = {
 }
 QUICK_MATRIX = {k: FULL_MATRIX[k] for k in ("plain", "tail+spm")}
 
+# int8 serving-mode matrix (round 3): bf16 headline vs the w8a8 fused chain
+# (ops/dense_q8_pallas.py), its bf16-qkv ablation, and the unfused QuantDense
+# path the mode used before.
+INT8_MATRIX = {
+    "bf16":          {"DINOUNET_TPU_VIT_INT8": "0"},
+    "int8-fused":    {"DINOUNET_TPU_VIT_INT8": "1"},
+    "int8-bf16qkv":  {"DINOUNET_TPU_VIT_INT8": "1",
+                      "DINOUNET_TPU_INT8_QKV": "0"},
+    "int8-unfused":  {"DINOUNET_TPU_VIT_INT8": "1",
+                      "DINOUNET_TPU_DENSE_IMPL": "jax"},
+}
+
+MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -47,10 +61,13 @@ def main():
                     default=int(os.environ.get("DINOUNET_TPU_BENCH_BATCH", 8)))
     ap.add_argument("--model", default=os.environ.get(
         "DINOUNET_TPU_BENCH_MODEL", "dinounet_b"))
+    ap.add_argument("--set", default=None, choices=sorted(MATRICES),
+                    help="named knob matrix (full/quick/int8)")
     args = ap.parse_args()
 
     floor = SUSPECT_FRACTION * LAST_KNOWN_GOOD.get(args.model, 0.0)
-    matrix = QUICK_MATRIX if args.quick else FULL_MATRIX
+    matrix = MATRICES[args.set] if args.set else (
+        QUICK_MATRIX if args.quick else FULL_MATRIX)
     rows = []
     for name, knobs in matrix.items():
         knobs = dict(knobs, DINOUNET_TPU_BENCH_MODEL=args.model)

@@ -118,6 +118,24 @@ def gate_kernels():
     gate("dense_cm_residual_stats",
          lambda a: ds.dense_cm_residual_stats(a, wcm, bd, res, gm), ht)
 
+    # --- int8 dense family (w8a8 serving kernels, dense_q8_pallas) ---
+    from dinounet_tpu.ops import dense_q8_pallas as dq
+
+    wf32 = wd.astype(jnp.float32)
+    hx = _rand(next(ks), (8, N, D))
+    w1 = _rand(next(ks), (D, F), jnp.float32)
+    b1 = _rand(next(ks), (F,), jnp.float32)
+    gate("dense_q8[fc1]", lambda a: dq.dense_q8(a, w1, b1), hx)
+    gate("dense_q8_residual_stats[gelu]",
+         lambda a: dq.dense_q8_residual_stats(a, wf32, bd, res, gm,
+                                              prologue="gelu"), h)
+    gate("dense_cm_q8_residual_stats",
+         lambda a: dq.dense_cm_q8_residual_stats(a, wcm, bd, res, gm), ht)
+    wq_k = _rand(next(ks), (D, 3 * D), jnp.float32)
+    bq_k = _rand(next(ks), (3 * D,), jnp.float32)
+    gate("qkv_q8_premapped[xla]",
+         lambda a: dq.qkv_q8_premapped(a, wq_k, bq_k, 12, 64), hx)
+
     # --- attention family ---
     heads, dh = 12, 64
     q = _rand(next(ks), (8, 3, heads, N, dh))
@@ -159,6 +177,19 @@ def gate_forward(model_name="dinounet_b", batch=8):
          lambda v, a: fwd(v, a), variables, x)
 
 
+def gate_forward_int8(model_name="dinounet_b", batch=8):
+    """The int8 serving mode's full tile forward (w8a8 fused chain)."""
+    os.environ["DINOUNET_TPU_VIT_INT8"] = "1"
+    try:
+        from bench import build
+
+        fwd, variables, x = build(batch, model_name)
+        gate(f"tile_forward[{model_name},b{batch},int8]",
+             lambda v, a: fwd(v, a), variables, x)
+    finally:
+        os.environ.pop("DINOUNET_TPU_VIT_INT8", None)
+
+
 def gate_train_step():
     """Compile the dinounet_s train step (fwd+bwd through every kernel VJP)."""
     from tests.helpers import tiny_train_step_for_gate  # optional helper
@@ -171,6 +202,7 @@ def main():
     gate_kernels()
     if "--quick" not in sys.argv:
         gate_forward()
+        gate_forward_int8()
     if "--train" in sys.argv:
         try:
             gate_train_step()
