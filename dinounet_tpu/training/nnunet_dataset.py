@@ -7,9 +7,9 @@ trainer does not use yet but which are public surface
   * nnUNetBaseDataset       — the backend interface (:122-164)
   * nnUNetDatasetNumpy      — .npz/.npy(+memmap) backend (:167-222)
   * nnUNetDatasetBlosc2     — .b2nd compressed-chunk backend (:225-401);
-                              python-blosc2 is not installed in this image, so
-                              the class import-gates on availability and raises
-                              a clear error when used without it
+                              runs on python-blosc2 when installed, else on
+                              the in-tree pure-Python b2nd engine
+                              (dinounet_tpu/compression, zstd via zstandard)
   * comp_blosc2_params      — cache-aware chunk/block sizing (:311-401),
                               pure math, usable without blosc2
   * infer_dataset_class     — pick the backend from the folder contents (:404-418)
@@ -27,10 +27,15 @@ from typing import List, Optional, Sequence, Tuple, Type
 
 import numpy as np
 
-try:  # not in this image; the Numpy backend is the supported default
+try:  # prefer the real package when a deployment installs it
     import blosc2  # type: ignore
-except ImportError:  # pragma: no cover - exercised via the gate test
-    blosc2 = None
+    _BLOSC2_IMPL = "python-blosc2"
+except ImportError:
+    # fall back to the in-tree pure-Python engine (compression/): same
+    # .b2nd container, zstd via zstandard, blosc chunk layer validated
+    # against this image's libblosc oracle (tests/test_b2nd.py)
+    from dinounet_tpu.compression import blosc2_shim as blosc2
+    _BLOSC2_IMPL = "dinounet_tpu.compression"
 
 
 def _load_pickle(path: str) -> dict:
@@ -132,14 +137,13 @@ class nnUNetDatasetNumpy(nnUNetBaseDataset):
 class nnUNetDatasetBlosc2(nnUNetBaseDataset):
     """Cases stored as <id>.b2nd / <id>_seg.b2nd blosc2 NDim containers.
 
-    Requires python-blosc2 (absent from this image). The class is still
-    importable so registries and `infer_dataset_class` resolve; any attempt
-    to read or write raises with an actionable message.
+    Uses python-blosc2 when installed, otherwise the in-tree pure-Python
+    engine (dinounet_tpu/compression) — same container format, lazy
+    block-granular patch reads either way.
     """
 
     def __init__(self, folder: str, identifiers: Optional[List[str]] = None,
                  folder_with_segs_from_previous_stage: Optional[str] = None):
-        _require_blosc2()
         super().__init__(folder, identifiers, folder_with_segs_from_previous_stage)
         blosc2.set_nthreads(1)
 
@@ -165,7 +169,6 @@ class nnUNetDatasetBlosc2(nnUNetBaseDataset):
                   output_filename_truncated: str, chunks=None, blocks=None,
                   chunks_seg=None, blocks_seg=None, clevel: int = 8,
                   codec=None) -> None:
-        _require_blosc2()
         blosc2.set_nthreads(1)
         if chunks_seg is None:
             chunks_seg = chunks
@@ -184,7 +187,6 @@ class nnUNetDatasetBlosc2(nnUNetBaseDataset):
     @staticmethod
     def save_seg(seg: np.ndarray, output_filename_truncated: str,
                  chunks_seg=None, blocks_seg=None) -> None:
-        _require_blosc2()
         blosc2.asarray(np.ascontiguousarray(seg),
                        urlpath=output_filename_truncated + ".b2nd",
                        chunks=chunks_seg, blocks=blocks_seg)
@@ -193,14 +195,6 @@ class nnUNetDatasetBlosc2(nnUNetBaseDataset):
     def get_identifiers(folder: str) -> List[str]:
         return sorted(f[:-5] for f in os.listdir(folder)
                       if f.endswith(".b2nd") and not f.endswith("_seg.b2nd"))
-
-
-def _require_blosc2() -> None:
-    if blosc2 is None:
-        raise RuntimeError(
-            "the Blosc2 dataset backend needs the python-blosc2 package, which "
-            "is not installed; re-preprocess with the default Numpy backend or "
-            "install blosc2")
 
 
 def comp_blosc2_params(

@@ -135,3 +135,33 @@ def test_transforms_hook(tmp_path):
                           transforms=tf, seed=5)
     next(dl)
     assert calls == [(2, 1, 8, 8)]
+
+
+def test_blosc2_backend_batches_match_numpy(tmp_path):
+    """The loader must produce byte-identical batches whichever backend
+    stores the cases (the Blosc2 one reads patches lazily per-block)."""
+    from dinounet_tpu.training.nnunet_dataset import nnUNetDatasetBlosc2
+
+    d_np, d_b2 = tmp_path / "np", tmp_path / "b2"
+    d_np.mkdir(), d_b2.mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(2):
+        data = rng.normal(size=(1, 1, 24, 24)).astype(np.float32)
+        seg = rng.integers(0, 3, size=(1, 1, 24, 24)).astype(np.int8)
+        fg = np.argwhere(seg[0] == 1)
+        locs = {1: np.hstack([np.zeros((len(fg), 1), int), fg])[:100]}
+        props = {"class_locations": locs, "spacing": [999, 1.0, 1.0]}
+        for cls, folder in ((nnUNetDatasetNumpy, d_np), (nnUNetDatasetBlosc2, d_b2)):
+            cls.save_case(data, seg, props, os.path.join(str(folder), f"case_{i}"))
+
+    batches = {}
+    for cls, folder in ((nnUNetDatasetNumpy, d_np), (nnUNetDatasetBlosc2, d_b2)):
+        dl = nnUNetDataLoader(cls(str(folder)), batch_size=4, patch_size=(16, 16),
+                              final_patch_size=(16, 16), label_manager=_Labels(),
+                              oversample_foreground_percent=0.33, seed=0)
+        batches[cls.__name__] = next(dl)
+
+    a, b = batches["nnUNetDatasetNumpy"], batches["nnUNetDatasetBlosc2"]
+    assert list(a["keys"]) == list(b["keys"])
+    np.testing.assert_array_equal(a["data"], b["data"])
+    np.testing.assert_array_equal(a["target"], b["target"])

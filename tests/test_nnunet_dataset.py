@@ -99,15 +99,53 @@ class TestInferDatasetClass:
         assert file_ending_dataset_mapping["b2nd"] is nnUNetDatasetBlosc2
 
 
-class TestBlosc2Gate:
-    def test_construct_without_blosc2_raises_clearly(self, tmp_path):
-        try:
-            import blosc2  # noqa: F401
-            pytest.skip("blosc2 installed; gate not applicable")
-        except ImportError:
-            pass
-        with pytest.raises(RuntimeError, match="blosc2"):
-            nnUNetDatasetBlosc2(str(tmp_path))
+class TestBlosc2Backend:
+    """Runs on python-blosc2 when installed, else on the in-tree pure-Python
+    engine (dinounet_tpu/compression) — exercised either way."""
+
+    def test_round_trip_and_lazy_patch_read(self, tmp_path):
+        rng = np.random.default_rng(5)
+        folder = str(tmp_path)
+        data, seg, props = _make_case(rng, shape=(2, 12, 40, 48))
+        blocks, chunks = comp_blosc2_params(data.shape, (16, 16), data.itemsize)
+        nnUNetDatasetBlosc2.save_case(data, seg, props,
+                                      os.path.join(folder, "c"),
+                                      chunks=chunks, blocks=blocks)
+        assert nnUNetDatasetBlosc2.get_identifiers(folder) == ["c"]
+
+        ds = nnUNetDatasetBlosc2(folder)
+        loaded, seg_l, seg_prev, props_l = ds.load_case("c")
+        assert seg_prev is None
+        assert props_l["spacing"] == props["spacing"]
+        np.testing.assert_array_equal(np.asarray(loaded[...]), data)
+        np.testing.assert_array_equal(np.asarray(seg_l[...]), seg)
+        # the loader's access pattern: one patch bbox per case, lazily
+        patch = loaded[:, 2:9, 5:21, 30:46]
+        np.testing.assert_array_equal(patch, data[:, 2:9, 5:21, 30:46])
+
+    def test_previous_stage_seg_and_save_seg(self, tmp_path):
+        rng = np.random.default_rng(6)
+        cur, prev = tmp_path / "cur", tmp_path / "prev"
+        cur.mkdir(), prev.mkdir()
+        data, seg, props = _make_case(rng)
+        nnUNetDatasetBlosc2.save_case(data, seg, props, str(cur / "c"))
+        prev_seg = rng.integers(0, 2, seg.shape).astype(np.int8)
+        nnUNetDatasetBlosc2.save_seg(prev_seg, str(prev / "c"))
+
+        _, _, seg_prev, _ = nnUNetDatasetBlosc2(
+            str(cur), folder_with_segs_from_previous_stage=str(prev)
+        ).load_case("c")
+        np.testing.assert_array_equal(np.asarray(seg_prev[...]), prev_seg)
+
+    def test_default_codec_is_zstd_clevel8(self, tmp_path):
+        # the reference preprocesses with ZSTD clevel 8 (ref
+        # nnunet_dataset.py:278-282); our save_case must match so
+        # cross-implementation reads stay cheap
+        rng = np.random.default_rng(7)
+        data, seg, props = _make_case(rng, shape=(1, 4, 32, 32))
+        nnUNetDatasetBlosc2.save_case(data, seg, props, str(tmp_path / "c"))
+        raw = (tmp_path / "c.b2nd").read_bytes()
+        assert raw[2:10] == b"b2frame\x00"
 
 
 class TestCompBlosc2Params:
