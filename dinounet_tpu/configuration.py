@@ -147,6 +147,25 @@ def use_fused_decoder_tail() -> bool:
     return decoder_tail_impl() != "jax"
 
 
+def decoder_wide_convs() -> bool:
+    """Inference-only "wide" decoder stages: XLA assigns the decoder's
+    high-resolution bf16 feature maps channel-minor layouts where the
+    (8, 128) tile pads the lane dimension to 128, so a 32-channel map costs
+    the same HBM bytes as a 128-channel one (round-3 trace: stage2's convs
+    run 1.6x above even that padded floor on the Cout<128 emitter path).
+    With this knob the sub-128-channel decoder stages run their convs with
+    output channels zero-padded to the full 128 lanes — identical physical
+    traffic, full-lane MXU stores — staying wide through InstanceNorm/leaky
+    (padded channels are exactly 0 end-to-end) and slicing nowhere: the seg
+    heads and next-stage transposed convs consume the wide map through
+    zero-padded weight rows. Param trees/checkpoints unchanged; training
+    keeps the plain flax graph.
+
+    Env DINOUNET_TPU_DECODER_WIDE in {"1", "0"}; default set by the round-3
+    hardware A/B (tools/ab_matrix.py)."""
+    return os.environ.get("DINOUNET_TPU_DECODER_WIDE", "0") == "1"
+
+
 def spm_cm_impl() -> str:
     """Implementation of the SpatialPriorModule's high-res stem convs
     (stem2/stem3: 3x3 stride-1 at 1/2 resolution, 64 channels — the same

@@ -112,16 +112,19 @@ class SegHead(nn.Module):
     num_classes: int
     rank: int  # spatial rank (2 or 3)
     dtype: jnp.dtype = jnp.bfloat16
+    in_features: Optional[int] = None  # logical C when x is channel-padded
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
+        C = self.in_features or x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (1,) * self.rank + (C, self.num_classes), jnp.float32)
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_classes,), jnp.float32)
         w = kernel.reshape(C, self.num_classes)
+        if C != x.shape[-1]:  # wide-mode input: padded channels are zeros
+            w = jnp.pad(w, ((0, x.shape[-1] - C), (0, 0)))
         if x.dtype == jnp.bfloat16:
             y = jax.lax.dot_general(
                 x, w.astype(jnp.bfloat16),
@@ -153,7 +156,11 @@ class UNetDecoder(nn.Module):
         assert len(skips) == n_stages
         assert len(self.n_conv_per_stage) == n_stages - 1
 
+        from dinounet_tpu.configuration import decoder_wide_convs
+
+        wide = decoder_wide_convs() and not train
         lres = skips[-1]
+        lres_logical = lres.shape[-1]
         seg_outputs = []
         for s in range(1, n_stages):
             skip_ch = self.encoder_channels[-(s + 1)]
@@ -165,7 +172,7 @@ class UNetDecoder(nn.Module):
             x = TransposedConv(
                 skip_ch, stride, use_bias=self.conv_bias, dtype=self.dtype,
                 name=f"transpconv{s - 1}",
-            )(lres)
+            )(lres, logical_in=lres_logical)
             x = jnp.concatenate([x, skip], axis=-1)
             x = StackedConvBlocks(
                 n_convs=self.n_conv_per_stage[s - 1], features=skip_ch,
@@ -173,7 +180,7 @@ class UNetDecoder(nn.Module):
                 norm=self.norm, norm_kwargs=self.norm_kwargs,
                 nonlin=self.nonlin, nonlin_kwargs=self.nonlin_kwargs,
                 conv_bias=self.conv_bias, dtype=self.dtype, name=f"stage{s - 1}",
-            )(x, train=train)
+            )(x, train=train, wide=wide)
             # seg heads are always constructed (checkpoint compat, ref :594-597);
             # fp32 logits for a stable loss. In bf16 mode the input feature map
             # streams in bf16 with f32 accumulation — pre-casting the full-res
@@ -181,10 +188,11 @@ class UNetDecoder(nn.Module):
             # tensor just to feed a 1x1 conv.
             seg = SegHead(
                 self.num_classes, rank=len(stride), dtype=self.dtype,
-                name=f"seg{s - 1}",
+                in_features=skip_ch, name=f"seg{s - 1}",
             )(x)
             seg_outputs.append(seg)
             lres = x
+            lres_logical = skip_ch
 
         seg_outputs = seg_outputs[::-1]  # highest resolution first
         if self.deep_supervision:

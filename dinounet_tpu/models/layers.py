@@ -45,14 +45,23 @@ class InstanceNorm(nn.Module):
 
     Stateless (no running stats) => jit-friendly; normalizes over H, W per
     (sample, channel), fp32 math.
+
+    param_dim: declare scale/bias at this (logical) width even when x is
+    channel-padded wider (the decoder's wide inference mode); the padded
+    channels normalize to exactly 0 (zero mean/var, zero-padded affine).
     """
     eps: float = 1e-5
+    param_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dim = x.shape[-1]
+        dim = self.param_dim or x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if dim != x.shape[-1]:
+            pad = (0, x.shape[-1] - dim)
+            scale = jnp.pad(scale, pad)
+            bias = jnp.pad(bias, pad)
         xf = x.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1))
         # one-pass statistics (see LayerNormFp32): E[x] and E[x^2] in one read
@@ -68,11 +77,13 @@ class Norm(nn.Module):
     kind: str
     eps: float = 1e-5
     momentum: float = 0.9
+    param_dim: Optional[int] = None  # logical width when x is channel-padded
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "instancenorm":
-            return InstanceNorm(self.eps, name="norm")(x)
+            return InstanceNorm(self.eps, param_dim=self.param_dim,
+                                name="norm")(x)
         if self.kind == "batchnorm":
             return nn.BatchNorm(
                 use_running_average=not train, momentum=self.momentum,
@@ -81,6 +92,26 @@ class Norm(nn.Module):
         if self.kind == "none":
             return x
         raise KeyError(f"Unknown norm kind {self.kind}")
+
+
+class _ConvInnerParams(nn.Module):
+    """nn.Conv-identical param tree (kernel (kh, kw, Cin, Cout) + bias) for
+    paths that apply the convolution manually (the wide inference mode)."""
+    features: int
+    kernel_size: Tuple[int, int]
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", conv_kaiming_init,
+                       (*self.kernel_size, in_features, self.features),
+                       jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+        else:
+            b = jnp.zeros((self.features,), jnp.float32)
+        return k, b
 
 
 class ConvNormAct(nn.Module):
@@ -96,15 +127,38 @@ class ConvNormAct(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, wide: bool = False,
+                 logical_in: Optional[int] = None):
+        nk = self.norm_kwargs or {}
+        if wide and not train:
+            return self._wide(x, logical_in or x.shape[-1], nk)
         x = nn.Conv(
             self.features, self.kernel_size, strides=self.strides, padding="SAME",
             use_bias=self.conv_bias, dtype=self.dtype, kernel_init=conv_kaiming_init,
             name="conv",
         )(x)
-        nk = self.norm_kwargs or {}
         x = Norm(self.norm, eps=nk.get("eps", 1e-5), name="norm")(x, train=train)
         return nonlin_fn(self.nonlin, self.nonlin_kwargs)(x)
+
+    def _wide(self, x, logical_in: int, nk: dict, lanes: int = 128):
+        """Full-lane variant: identical params, output channel-padded to
+        `lanes` with exact zeros (see configuration.decoder_wide_convs).
+        `logical_in` is the input's true channel count; any padded input
+        channels beyond it multiply zero-padded kernel rows."""
+        k, b = _ConvInnerParams(self.features, self.kernel_size,
+                                self.conv_bias, name="conv")(logical_in)
+        wide_out = max(lanes, self.features)
+        k = jnp.pad(k.astype(self.dtype),
+                    ((0, 0),) * len(self.kernel_size)
+                    + ((0, x.shape[-1] - logical_in),
+                       (0, wide_out - self.features)))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, self.strides, "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.pad(b, (0, wide_out - self.features)).astype(self.dtype)
+        y = Norm(self.norm, eps=nk.get("eps", 1e-5),
+                 param_dim=self.features, name="norm")(y, train=False)
+        return nonlin_fn(self.nonlin, self.nonlin_kwargs)(y)
 
 
 class StackedConvBlocks(nn.Module):
@@ -125,7 +179,14 @@ class StackedConvBlocks(nn.Module):
     initial_strides: Optional[Tuple[int, ...]] = None  # default: all-1, kernel rank
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, wide: bool = False):
+        # wide inference mode (configuration.decoder_wide_convs): only for
+        # 2-D instancenorm stages below the 128-lane tile width; the output
+        # stays channel-padded to 128 (exact zeros), consumers pad weights
+        wide = (wide and not train and self.features < 128
+                and len(self.kernel_size) == 2
+                and self.norm == "instancenorm")
+        logical_in = x.shape[-1]
         for i in range(self.n_convs):
             x = ConvNormAct(
                 self.features, self.kernel_size,
@@ -135,7 +196,8 @@ class StackedConvBlocks(nn.Module):
                 norm=self.norm, norm_kwargs=self.norm_kwargs,
                 nonlin=self.nonlin, nonlin_kwargs=self.nonlin_kwargs,
                 conv_bias=self.conv_bias, dtype=self.dtype, name=f"conv{i}",
-            )(x, train=train)
+            )(x, train=train, wide=wide, logical_in=logical_in)
+            logical_in = self.features
         return x
 
 
@@ -182,14 +244,30 @@ class DepthwiseSeparableConv(nn.Module):
 
 
 class TransposedConv(nn.Module):
-    """ConvTranspose2d(kernel=stride) equivalent: exact x2 (or sxs) upsampling."""
+    """ConvTranspose2d(kernel=stride) equivalent: exact x2 (or sxs) upsampling.
+
+    `logical_in` (call-time): the input's true channel count when x arrives
+    channel-padded from a wide-mode stage — the kernel is declared at the
+    logical width (identical param tree) and zero-padded rows consume the
+    padding channels."""
     features: int
     stride: Tuple[int, int] = (2, 2)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, logical_in: Optional[int] = None):
+        if logical_in is not None and logical_in != x.shape[-1]:
+            k, b = _TranspConvInnerParams(self.features, self.use_bias,
+                                          name="transpconv")(logical_in)
+            k = jnp.pad(k.astype(self.dtype),
+                        ((0, 0), (0, 0), (0, x.shape[-1] - logical_in), (0, 0)))
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype), k, self.stride, "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.use_bias:
+                y = y + b.astype(self.dtype)
+            return y
         return nn.ConvTranspose(
             self.features, kernel_size=self.stride, strides=self.stride,
             padding="VALID", use_bias=self.use_bias, dtype=self.dtype,

@@ -355,3 +355,73 @@ class TestSPMStemCM:
         monkeypatch.setenv("DINOUNET_TPU_SPM_CM", "interpret")
         outs = spm.apply(spm.init(jax.random.PRNGKey(0), x), x)
         assert outs[0].shape == (1, 48, 48, 16)
+
+
+class TestWideDecoderMode:
+    """DINOUNET_TPU_DECODER_WIDE=1: sub-128-channel decoder stages run their
+    convs zero-padded to the full 128-lane tile (configuration.
+    decoder_wide_convs). Round-3 hardware A/B: LOST (143.05 vs 147.45 p/s,
+    .bench_logs/ab_wide_r3.json) — kept opt-in as a documented negative
+    result; these tests pin its correctness."""
+
+    def _decoder(self, deep_supervision=False):
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        return UNetDecoder(
+            encoder_channels=[8, 16, 32],
+            encoder_strides=[(2, 2), (2, 2), (2, 2)],
+            encoder_kernel_sizes=[(3, 3), (3, 3), (3, 3)],
+            num_classes=3,
+            n_conv_per_stage=[2, 2],
+            deep_supervision=deep_supervision,
+        )
+
+    def _skips(self, rng):
+        return [
+            _rand(rng, (2, 64, 64, 8)),
+            _rand(rng, (2, 32, 32, 16)),
+            _rand(rng, (2, 16, 16, 32)),
+        ]
+
+    @pytest.mark.parametrize("ds", [False, True])
+    def test_wide_matches_plain_with_identical_tree(self, rng, monkeypatch,
+                                                    ds):
+        import jax.tree_util as jtu
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        dec = self._decoder(deep_supervision=ds)
+        skips = self._skips(rng)
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_WIDE", "0")
+        v1 = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v1, skips)
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_WIDE", "1")
+        v2 = dec.init(jax.random.PRNGKey(0), skips)
+        p1 = {jtu.keystr(k): (a.shape, np.asarray(a, np.float32).sum())
+              for k, a in jtu.tree_leaves_with_path(v1)}
+        p2 = {jtu.keystr(k): (a.shape, np.asarray(a, np.float32).sum())
+              for k, a in jtu.tree_leaves_with_path(v2)}
+        assert p1 == p2  # identical trees AND identical init values
+
+        got = dec.apply(v1, skips)
+        refs = ref if ds else [ref]
+        gots = got if ds else [got]
+        assert len(gots) == len(refs)
+        for r, g in zip(refs, gots):
+            assert g.shape == r.shape  # logits never stay padded
+            np.testing.assert_allclose(np.asarray(g, np.float32),
+                                       np.asarray(r, np.float32),
+                                       atol=0.05, rtol=0.03)
+
+    def test_train_path_unaffected(self, rng, monkeypatch):
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        dec = self._decoder()
+        skips = self._skips(rng)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_WIDE", "0")
+        v = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v, skips, train=True)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_WIDE", "1")
+        got = dec.apply(v, skips, train=True)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))

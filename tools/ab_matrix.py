@@ -50,7 +50,15 @@ INT8_MATRIX = {
                       "DINOUNET_TPU_DENSE_IMPL": "jax"},
 }
 
-MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX}
+# wide decoder stages (round 3): zero-padded full-lane convs vs status quo
+# (configuration.decoder_wide_convs)
+WIDE_MATRIX = {
+    "base": {"DINOUNET_TPU_DECODER_WIDE": "0"},
+    "wide": {"DINOUNET_TPU_DECODER_WIDE": "1"},
+}
+
+MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
+            "wide": WIDE_MATRIX}
 
 
 def main():
