@@ -147,6 +147,23 @@ def use_fused_decoder_tail() -> bool:
     return decoder_tail_impl() != "jax"
 
 
+def seg_head_reduce() -> bool:
+    """Inference-time seg-head formulation: express the 1x1 num_classes
+    projection as a broadcast-multiply + lane reduction instead of a
+    dot_general, hoping XLA fuses the stage's InstanceNorm-apply + leaky
+    into the reduce pass (a dot operand cannot absorb elementwise
+    producers).
+
+    Default OFF: the round-3 hardware A/B measured it 4.6% SLOWER end to
+    end (141.03 vs 147.79 p/s, .bench_logs/ab_seg_r3.json) — XLA refuses a
+    cross-lane reduction over the lane-padded channel dim and instead
+    relayouts the full 537 MB stage-2 map twice ({3,0,2,1}<->{2,3,1,0}
+    copies, 0.99+1.09 ms in the trace), outweighing the fused pass. The
+    dot form is already within ~8% of its HBM read floor. See BASELINE.md
+    "negative results"."""
+    return os.environ.get("DINOUNET_TPU_SEG_REDUCE", "0") == "1"
+
+
 def decoder_wide_convs() -> bool:
     """Inference-only "wide" decoder stages: XLA assigns the decoder's
     high-resolution bf16 feature maps channel-minor layouts where the

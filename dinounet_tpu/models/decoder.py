@@ -115,7 +115,7 @@ class SegHead(nn.Module):
     in_features: Optional[int] = None  # logical C when x is channel-padded
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prefer_reduce: bool = False):
         C = self.in_features or x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -126,11 +126,22 @@ class SegHead(nn.Module):
         if C != x.shape[-1]:  # wide-mode input: padded channels are zeros
             w = jnp.pad(w, ((0, x.shape[-1] - C), (0, 0)))
         if x.dtype == jnp.bfloat16:
-            y = jax.lax.dot_general(
-                x, w.astype(jnp.bfloat16),
-                (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            from dinounet_tpu.configuration import seg_head_reduce
+
+            if prefer_reduce and self.num_classes <= 8 and seg_head_reduce():
+                # broadcast-multiply + reduce instead of dot_general: a dot
+                # operand cannot absorb elementwise producers, a reduce
+                # input can — XLA fuses the stage's InstanceNorm-apply +
+                # leaky into this pass (see configuration.seg_head_reduce)
+                y = jnp.sum(
+                    x.astype(jnp.float32)[..., None]
+                    * w[(None,) * (x.ndim - 1)], axis=-2)
+            else:
+                y = jax.lax.dot_general(
+                    x, w.astype(jnp.bfloat16),
+                    (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         else:
             y = jnp.einsum("...c,ck->...k", x.astype(jnp.float32), w)
         return y + bias
@@ -189,7 +200,7 @@ class UNetDecoder(nn.Module):
             seg = SegHead(
                 self.num_classes, rank=len(stride), dtype=self.dtype,
                 in_features=skip_ch, name=f"seg{s - 1}",
-            )(x)
+            )(x, prefer_reduce=not train)
             seg_outputs.append(seg)
             lres = x
             lres_logical = skip_ch

@@ -425,3 +425,42 @@ class TestWideDecoderMode:
         got = dec.apply(v, skips, train=True)
         np.testing.assert_array_equal(np.asarray(got, np.float32),
                                       np.asarray(ref, np.float32))
+
+
+class TestSegReduceFormulation:
+    """DINOUNET_TPU_SEG_REDUCE=1: broadcast-mul+reduce seg head. Round-3
+    hardware A/B: LOST (141.03 vs 147.79 p/s, .bench_logs/ab_seg_r3.json —
+    XLA relayouts the padded-lane map instead of reducing across lanes);
+    kept opt-in as a documented negative result, parity pinned here."""
+
+    def test_reduce_matches_dot(self, rng, monkeypatch):
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        dec = UNetDecoder(
+            encoder_channels=[8, 16, 32],
+            encoder_strides=[(2, 2), (2, 2), (2, 2)],
+            encoder_kernel_sizes=[(3, 3), (3, 3), (3, 3)],
+            num_classes=3, n_conv_per_stage=[2, 2], deep_supervision=True)
+        skips = [_rand(rng, (2, 64, 64, 8)), _rand(rng, (2, 32, 32, 16)),
+                 _rand(rng, (2, 16, 16, 32))]
+
+        monkeypatch.setenv("DINOUNET_TPU_SEG_REDUCE", "0")
+        v = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v, skips)
+        ref_train = dec.apply(v, skips, train=True)
+
+        monkeypatch.setenv("DINOUNET_TPU_SEG_REDUCE", "1")
+        assert {str(k) for k in dec.init(jax.random.PRNGKey(0), skips)} \
+            == {str(k) for k in v}
+        got = dec.apply(v, skips)
+        for r, g in zip(ref, got):
+            # reduce computes in f32 where dot uses bf16 operands: equal to
+            # within bf16 rounding of the inputs
+            np.testing.assert_allclose(np.asarray(g, np.float32),
+                                       np.asarray(r, np.float32),
+                                       atol=0.02, rtol=0.02)
+        # training always keeps the dot form (bit-identical)
+        got_train = dec.apply(v, skips, train=True)
+        for r, g in zip(ref_train, got_train):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

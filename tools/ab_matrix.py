@@ -57,8 +57,15 @@ WIDE_MATRIX = {
     "wide": {"DINOUNET_TPU_DECODER_WIDE": "1"},
 }
 
+# seg-head formulation (round 3): broadcast-mul+reduce (fuses the final
+# stage's norm+leaky into the seg pass) vs dot_general
+SEG_MATRIX = {
+    "dot": {"DINOUNET_TPU_SEG_REDUCE": "0"},
+    "reduce": {"DINOUNET_TPU_SEG_REDUCE": "1"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
-            "wide": WIDE_MATRIX}
+            "wide": WIDE_MATRIX, "seg": SEG_MATRIX}
 
 
 def main():
