@@ -147,6 +147,22 @@ def use_fused_decoder_tail() -> bool:
     return decoder_tail_impl() != "jax"
 
 
+def conv_cm_inner() -> str:
+    """Inner-loop formulation of the channel-major conv3x3 kernel
+    (ops/decoder_tail_pallas.py::conv3x3_cm).
+
+    "merged": the halo-extended stripe is lane-merged once and the three dy
+    taps read lane-tile-aligned slices (offsets dy*W, W % 128 == 0), with
+    the dx combine as masked 1-lane shift-adds on the output — removes the
+    per-(chunk, dy) stripe relayouts that pinned the chunked kernel at ~7%
+    MFU (round-3 trace, BASELINE.md negative results).
+    "chunked": the round-3 dy-shifted-sublane-read kernel, kept for A/B.
+
+    DINOUNET_TPU_CONV_CM_INNER in {"merged", "chunked"}."""
+    impl = os.environ.get("DINOUNET_TPU_CONV_CM_INNER", "merged")
+    return impl if impl in ("merged", "chunked") else "merged"
+
+
 def seg_head_reduce() -> bool:
     """Inference-time seg-head formulation: express the 1x1 num_classes
     projection as a broadcast-multiply + lane reduction instead of a

@@ -46,6 +46,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -137,6 +138,72 @@ def _conv_kernel(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref, b_ref,
         ssq_ref[0, 0] = pssq
 
 
+def _conv_kernel_merged(leaky_slope, n_stripes, x_ref, xp_ref, xn_ref, w_ref,
+                        b_ref, s_ref, t_ref, m_ref, o_ref, sum_ref=None,
+                        ssq_ref=None):
+    """Lane-merged variant of _conv_kernel (same operands + an edge-mask
+    operand m: (2, R*W) f32, row 0 zeroing columns x%W==0, row 1 zeroing
+    x%W==W-1).
+
+    The chunked kernel's inner loop reads dy-shifted sublane windows
+    (x[:, r0+dy:r0+dy+8, :]) whose row offsets are not tile-aligned, so
+    Mosaic relayouts the stripe once per (chunk, dy) — the round-3 trace
+    pinned the 512^2 convs at ~7% MFU on exactly that cost (BASELINE.md
+    negative result). Here the halo-extended stripe is merged ONCE into the
+    lane dimension, (Cin, R+2, W) -> (Cin, (R+2)*W) — legal because
+    W % 128 == 0 (tools/probe_interleave.py lane-merge rule) — after which
+    the three dy taps are lane slices at offsets dy*W, i.e. whole-lane-tile
+    offsets with no relayout. The dx combine moves to the output side as
+    1-lane shift-adds masked at the row edges (the merged form wraps row
+    y's last column into row y+1's first, so the host passes explicit edge
+    masks instead of an in-kernel iota/mod)."""
+    i = pl.program_id(1)
+    Cin, R, W = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    Cout = o_ref.shape[1]
+    cdt = o_ref.dtype
+
+    x = jnp.concatenate(
+        [xp_ref[0, :, -1:, :], x_ref[0], xn_ref[0, :, :1, :]], axis=1)
+    # (Cin, R+2, W)
+
+    if leaky_slope is not None:
+        xf = x.astype(jnp.float32) * s_ref[0] + t_ref[0]
+        x = jnp.where(xf >= 0, xf, xf * leaky_slope).astype(cdt)
+
+    # conv zero padding applies to the (prologue-activated) map: mask the
+    # out-of-image halo rows AFTER the prologue (leaky(0*s + t) is not 0)
+    zrow = jnp.zeros_like(x[:, :1, :])
+    x = jnp.concatenate([
+        jnp.where(i == 0, zrow, x[:, :1, :]),
+        x[:, 1:-1, :],
+        jnp.where(i == n_stripes - 1, zrow, x[:, -1:, :]),
+    ], axis=1)
+    xm = x.reshape(Cin, (R + 2) * W)  # lane merge (W % 128 == 0)
+
+    w = w_ref[...].astype(cdt).reshape(3, Cin, 3 * Cout)
+    bias = b_ref[..., 0].astype(jnp.float32)  # (Cout, 1)
+
+    n = R * W
+    acc = None
+    for dy in range(3):
+        rhs = xm[:, dy * W:dy * W + n]  # lane-tile-aligned slice
+        part = jax.lax.dot_general(
+            w[dy], rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (3*Cout, R*W)
+        acc = part if acc is None else acc + part
+    acc = acc.reshape(3, Cout, n)
+    left, mid, right = acc[0], acc[1], acc[2]
+    z = jnp.zeros((Cout, 1), jnp.float32)
+    out = mid + m_ref[0] * jnp.concatenate([z, left[:, :-1]], axis=-1)
+    out = out + m_ref[1] * jnp.concatenate([right[:, 1:], z], axis=-1)
+    out = (out + bias).astype(cdt)
+    o_ref[0] = out.reshape(Cout, R, W)
+    if sum_ref is not None:
+        of = out.astype(jnp.float32)  # stats over the cdt-rounded output
+        sum_ref[0, 0] = jnp.sum(of, axis=1, keepdims=True)
+        ssq_ref[0, 0] = jnp.sum(of * of, axis=1, keepdims=True)
+
+
 def _seg_kernel(leaky_slope, x_ref, w_ref, b_ref, s_ref, t_ref, o_ref):
     """Final 1x1 seg head over the IN-applied, leaky-activated features.
     x: (1, C, R, W); w: (C, K) f32; b: (K, 1, 1); s/t: (1, C, 1, 1) IN apply.
@@ -182,17 +249,28 @@ def _stack_conv_weights(w):
 
 
 def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
-               interpret: bool = False, stats: bool = True):
+               interpret: bool = False, stats: bool = True,
+               inner: str = None):
     """conv3x3(SAME, bias) over channel-major (B, Cin, H, W) input, with an
     optional fused input prologue `leaky(x * s + t)` (s/t (B, Cin) fp32 — the
     preceding InstanceNorm's apply). Returns (y (B, Cout, H, W) in x.dtype,
     sum (B, Cout) f32, sumsq (B, Cout) f32) where the sums run over H*W of y;
     with stats=False (a consumer that needs no norm statistics, e.g. the SPM
     stem whose BatchNorm uses running stats at inference) returns y alone.
-    w: (3, 3, Cin, Cout) f32 (flax nn.Conv layout); b: (Cout,) f32."""
+    w: (3, 3, Cin, Cout) f32 (flax nn.Conv layout); b: (Cout,) f32.
+    inner: 'merged' (default — aligned lane-slice dy taps over one merged
+    stripe, _conv_kernel_merged) or 'chunked' (the round-3 dy-shifted-read
+    kernel, kept for A/B)."""
+    from dinounet_tpu.configuration import conv_cm_inner
+
     B, Cin, H, W = x_cm.shape
     Cout = w.shape[-1]
-    R = _pick_stripe(H)
+    if inner is None:
+        inner = conv_cm_inner()
+    merged = inner == "merged"
+    # merged keeps a whole-stripe f32 (3*Cout, R*W) accumulator in VMEM, so
+    # it runs narrower stripes than the chunked kernel
+    R = _pick_stripe(H, vmem_rows=16) if merged else _pick_stripe(H)
     assert R is not None and H % R == 0, (H, R)
     n_stripes = H // R
     if prologue is None:
@@ -203,7 +281,10 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
         s, t = prologue
         slope = leaky_slope
     ws = _stack_conv_weights(w)
-    kern = functools.partial(_conv_kernel, slope, n_stripes)
+    if merged:
+        kern = functools.partial(_conv_kernel_merged, slope, n_stripes)
+    else:
+        kern = functools.partial(_conv_kernel, slope, n_stripes)
 
     # halo operands: the neighbor stripe's edge 8-row window (dim-2 block
     # size 8 => block index units of 8 rows; R % 8 == 0 so the halo row sits
@@ -231,23 +312,35 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             jax.ShapeDtypeStruct((B, n_stripes, Cout, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, n_stripes, Cout, 1), jnp.float32),
         ]
+    in_specs = [
+        pl.BlockSpec((1, Cin, R, W), lambda bi, i: (bi, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        prev_spec,
+        next_spec,
+        pl.BlockSpec((3 * Cin, 3 * Cout), lambda bi, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Cout, 1, 1), lambda bi, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_cm, x_cm, x_cm, ws, b.reshape(Cout, 1, 1),
+                s.reshape(B, Cin, 1, 1), t.reshape(B, Cin, 1, 1)]
+    if merged:
+        # row-edge masks for the merged dx shift-add: row 0 zeros columns
+        # x % W == 0 (left-tap wrap), row 1 zeros x % W == W-1 (right-tap)
+        m = np.ones((2, R, W), np.float32)
+        m[0, :, 0] = 0.0
+        m[1, :, -1] = 0.0
+        in_specs.append(pl.BlockSpec((2, R * W), lambda bi, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(m.reshape(2, R * W)))
     res = pl.pallas_call(
         kern,
         grid=(B, n_stripes),
-        in_specs=[
-            pl.BlockSpec((1, Cin, R, W), lambda bi, i: (bi, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            prev_spec,
-            next_spec,
-            pl.BlockSpec((3 * Cin, 3 * Cout), lambda bi, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1, 1), lambda bi, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin, 1, 1), lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs if stats else out_specs[0],
         out_shape=out_shape if stats else out_shape[0],
         cost_estimate=pl.CostEstimate(
@@ -256,8 +349,7 @@ def conv3x3_cm(x_cm, w, b, prologue=None, leaky_slope=0.01,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_cm, x_cm, x_cm, ws, b.reshape(Cout, 1, 1),
-      s.reshape(B, Cin, 1, 1), t.reshape(B, Cin, 1, 1))
+    )(*operands)
     if not stats:
         return res
     y, ssum, ssq = res

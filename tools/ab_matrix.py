@@ -64,8 +64,29 @@ SEG_MATRIX = {
     "reduce": {"DINOUNET_TPU_SEG_REDUCE": "1"},
 }
 
+# conv3x3_cm inner-loop formulation (round 3): the lane-merged kernel
+# (aligned dy lane-slices over one merged stripe — removes the per-(chunk,
+# dy) relayouts that pinned the chunked kernel at ~7% MFU) vs the chunked
+# kernel vs plain XLA, each driving the full CM chain.
+INNER_MATRIX = {
+    "plain":         {"DINOUNET_TPU_DECODER_TAIL": "jax",
+                      "DINOUNET_TPU_SPM_CM": "jax"},
+    "chain-merged":  {"DINOUNET_TPU_DECODER_TAIL": "auto",
+                      "DINOUNET_TPU_SPM_CM": "auto",
+                      "DINOUNET_TPU_CONV_CM_INNER": "merged"},
+    "chain-chunked": {"DINOUNET_TPU_DECODER_TAIL": "auto",
+                      "DINOUNET_TPU_SPM_CM": "auto",
+                      "DINOUNET_TPU_CONV_CM_INNER": "chunked"},
+    "tail-merged":   {"DINOUNET_TPU_DECODER_TAIL": "auto",
+                      "DINOUNET_TPU_SPM_CM": "jax",
+                      "DINOUNET_TPU_CONV_CM_INNER": "merged"},
+    "spm-merged":    {"DINOUNET_TPU_DECODER_TAIL": "jax",
+                      "DINOUNET_TPU_SPM_CM": "auto",
+                      "DINOUNET_TPU_CONV_CM_INNER": "merged"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
-            "wide": WIDE_MATRIX, "seg": SEG_MATRIX}
+            "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX}
 
 
 def main():
