@@ -40,7 +40,7 @@ BASELINE_PATCHES_PER_SEC = 60.0  # estimated A100 PyTorch reference (see above)
 # through a dying relay that were meaningless as kernel comparisons.
 LAST_KNOWN_GOOD = {
     "dinounet_s": 201.6,
-    "dinounet_b": 146.0,
+    "dinounet_b": 156.9,
     "dinounet_l": 67.8,
     "dinounet_7b": 7.7,
 }
@@ -48,7 +48,8 @@ SUSPECT_FRACTION = 0.3
 
 KNOBS = ("DINOUNET_TPU_DECODER_TAIL", "DINOUNET_TPU_SPM_CM",
          "DINOUNET_TPU_DENSE_IMPL", "DINOUNET_TPU_MSDA_IMPL",
-         "DINOUNET_TPU_MSDA_PREP")
+         "DINOUNET_TPU_MSDA_PREP", "DINOUNET_TPU_ATTN_LAYOUT",
+         "DINOUNET_TPU_MLP_GELU", "DINOUNET_TPU_CONV_CM_INNER")
 
 
 def log(*a):
@@ -271,6 +272,18 @@ def main():
             "dense": win["DINOUNET_TPU_DENSE_IMPL"],
             "msda": win["DINOUNET_TPU_MSDA_IMPL"],
             "msda_prep": win["DINOUNET_TPU_MSDA_PREP"],
+            # knobs the tier ladder doesn't vary — report the effective value
+            # (env override or configuration.py default) so the artifact
+            # names the full active kernel set
+            "attn_layout": win.get(
+                "DINOUNET_TPU_ATTN_LAYOUT",
+                os.environ.get("DINOUNET_TPU_ATTN_LAYOUT", "dmaj")),
+            "mlp_gelu": win.get(
+                "DINOUNET_TPU_MLP_GELU",
+                os.environ.get("DINOUNET_TPU_MLP_GELU", "kernel")),
+            "conv_cm_inner": win.get(
+                "DINOUNET_TPU_CONV_CM_INNER",
+                os.environ.get("DINOUNET_TPU_CONV_CM_INNER", "merged")),
             "batch": win["batch"],
         }
     if suspect:

@@ -103,6 +103,43 @@ def use_fused_attention() -> bool:
     return use_pallas_msda()
 
 
+def attn_premapped_layout() -> str:
+    """Lane layout of the premapped QKV projection / attention kernel pair
+    (models/vit.py + ops/attention_pallas.py).
+
+    "ndh": qkv einsum emits (B, 3, M, N, Dh) — the round-2 layout. Dh=64 is
+    the minor dim, so every q/k/v tile wastes half its 128 lanes (~2x the
+    qkv HBM bytes) and the projection einsum writes half-empty output tiles.
+    "dmaj": qkv einsum emits (B, 3, M, Dh, N) — tokens in lanes, full tiles;
+    RoPE's rotate-half becomes a sublane roll in the kernel
+    (fused_rope_attention_premapped_dmaj). Same math, same (B, M, Dh, N)
+    channel-major output.
+
+    DINOUNET_TPU_ATTN_LAYOUT in {"ndh", "dmaj"}; default "dmaj" — the
+    round-3 hardware A/B measured 156.93 vs 147.46 p/s end-to-end (+6.4%,
+    `.bench_logs/ab_backbone_r3.json`). Only consulted on the premapped
+    fused path without int8 qkv (qkv_q8_premapped emits ndh)."""
+    impl = os.environ.get("DINOUNET_TPU_ATTN_LAYOUT", "dmaj")
+    return impl if impl in ("ndh", "dmaj") else "dmaj"
+
+
+def mlp_gelu_impl() -> str:
+    """Where the backbone MLP's exact-erf GELU runs on the fused dense path.
+
+    "kernel": inside the fused fc2 kernel (dense_stats_pallas.py, A&S-7.1.26
+    erf on the VPU) — one HBM read of the fc1 output, but the per-element
+    erf/exp/divide VPU work is comparable to the fc2 matmul's MXU time and
+    can throttle it. "xla": nn.gelu(approximate=False) between fc1 and the
+    kernel — XLA fuses it into fc1's epilogue (no extra pass) and the fc2
+    kernel runs matmul-only.
+
+    DINOUNET_TPU_MLP_GELU in {"kernel", "xla"}. Only consulted on the fused
+    bf16 dense path (the int8 kernels keep their in-kernel GELU prologue,
+    which is load-bearing for the quantization layout)."""
+    impl = os.environ.get("DINOUNET_TPU_MLP_GELU", "kernel")
+    return impl if impl in ("kernel", "xla") else "kernel"
+
+
 def fused_dense_impl() -> str:
     """Implementation of the backbone's fused dense+residual+LN-stats op.
 

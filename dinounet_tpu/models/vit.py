@@ -264,12 +264,32 @@ class Attention(nn.Module):
             # Forward-only kernels — valid because the backbone is frozen on
             # every DinoUNet path (custom VJPs differentiate the einsum
             # formulation for the linearization pass).
-            from dinounet_tpu.configuration import fused_dense_impl
+            from dinounet_tpu.configuration import (
+                attn_premapped_layout, fused_dense_impl)
             from dinounet_tpu.ops.attention_pallas import (
-                fused_rope_attention_premapped)
+                fused_rope_attention_premapped,
+                fused_rope_attention_premapped_dmaj)
 
             interp = fused_dense_impl() == "interpret"
             k_q, b_q = _DenseParams(3 * C, cfg.qkv_bias, name="qkv")(C)
+            sin, cos = rope if rope is not None else (None, None)
+            if attn_premapped_layout() == "dmaj" and not vit_int8():
+                # Dh-major layout: tokens in lanes — full 128-lane tiles on
+                # the qkv write and the kernel's q/k/v reads (the ndh layout
+                # below wastes half of every tile on the Dh=64 minor dim)
+                qkv_t = jnp.einsum("bnc,cpmd->bpmdn", x,
+                                   k_q.reshape(C, 3, M, Dh).astype(cdt))
+                if cfg.qkv_bias:
+                    qkv_t = qkv_t + b_q.reshape(3, M, Dh, 1).astype(cdt)
+                o_t = fused_rope_attention_premapped_dmaj(
+                    qkv_t, sin, cos, interpret=interp)
+                k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
+                from dinounet_tpu.ops.dense_stats_pallas import (
+                    dense_cm_residual_stats)
+
+                return dense_cm_residual_stats(
+                    o_t.reshape(B, C, N), k_p, b_p, residual, ls_gamma,
+                    interpret=interp)
             if vit_int8():
                 # int8 serving mode on the premapped path: the qkv einsum
                 # rides the MXU's double-rate int8 path (opt-out knob), the
@@ -291,7 +311,6 @@ class Attention(nn.Module):
                                    k_q.reshape(C, 3, M, Dh).astype(cdt))
                 if cfg.qkv_bias:
                     qkv_t = qkv_t + b_q.reshape(3, M, 1, Dh).astype(cdt)
-            sin, cos = rope if rope is not None else (None, None)
             o_t = fused_rope_attention_premapped(qkv_t, sin, cos,
                                                  interpret=interp)
             k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
@@ -401,8 +420,17 @@ class Mlp(nn.Module):
                 h, k_p, b_p, residual, ls_gamma, prologue="gelu",
                 interpret=interp)
         h = _backbone_dense(cfg.ffn_hidden, cfg.ffn_bias, cdt, "fc1")(x)
+        from dinounet_tpu.configuration import mlp_gelu_impl
         from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
 
+        if mlp_gelu_impl() == "xla":
+            # GELU fuses into fc1's XLA epilogue; the fused kernel then runs
+            # matmul-only (its in-kernel erf/exp VPU work otherwise rivals
+            # the fc2 matmul's MXU time — see configuration.mlp_gelu_impl)
+            h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(cdt)
+            return dense_residual_stats(
+                h, k_p, b_p, residual, ls_gamma,
+                apply_gelu=False, interpret=interp)
         return dense_residual_stats(
             h, k_p, b_p, residual, ls_gamma,
             apply_gelu=True, interpret=interp)

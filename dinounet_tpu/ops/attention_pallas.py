@@ -107,6 +107,136 @@ def _kernel_pm(scale, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
     o_ref[0, 0] = (pv_t / denom[:, 0][None, :]).astype(cdt)
 
 
+def _kernel_pm_dmaj(scale, q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
+    """Dh-major premapped variant: one program = one (batch, head); q/k/v
+    blocks are (1, 1, 1, Dh, N) planes of a (B, 3, M, Dh, N) projection
+    output and the RoPE tables arrive transposed (Dh, N). With tokens in the
+    LANE dimension every q/k/v tile is fully utilized (the (N, Dh=64) layout
+    of _kernel_pm wastes half of every 128-lane tile on the minor Dh dim —
+    ~2x the qkv HBM bytes and a half-empty MXU output tile on the projection
+    einsum). RoPE's rotate-half becomes a SUBLANE roll (axis 0), which Mosaic
+    lowers. The score matmul contracts the sublane Dh axis of q and k
+    directly; PV contracts the key axis of v's lanes with e's lanes, giving
+    (Dh, N) output — identical to _kernel_pm's channel-major emission."""
+    Dh = q_ref.shape[-2]
+    cdt = q_ref.dtype
+    sin = sin_ref[...]
+    cos = cos_ref[...]
+
+    def rope(x, mul=None):
+        xf = x.astype(jnp.float32)
+        r = xf * cos + pltpu.roll(xf, Dh // 2, 0) * sin
+        if mul is not None:
+            r = r * mul
+        return r.astype(cdt)
+
+    q = rope(q_ref[0, 0, 0], scale)  # (Dh, N)
+    k = rope(k_ref[0, 0, 0])
+    s = jax.lax.dot_general(
+        q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (N, N): rows = query tokens, cols = key tokens
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m).astype(cdt)
+    denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)  # (N, 1)
+    # pv_t[d, n] = sum_k v[d, k] * e[n, k]
+    pv_t = jax.lax.dot_general(
+        v_ref[0, 0, 0], e, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (pv_t / denom[:, 0][None, :]).astype(cdt)
+
+
+def _xla_reference_dmaj(qkv_t, sin_eff_t, cos_t):
+    """Einsum formulation over the Dh-major (B, 3, M, Dh, N) layout,
+    returning (B, M, Dh, N) — numerical source for the custom VJP."""
+    Dh = qkv_t.shape[-2]
+    q, k, v = qkv_t[:, 0], qkv_t[:, 1], qkv_t[:, 2]  # (B, M, Dh, N)
+
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        rolled = jnp.roll(xf, Dh // 2, axis=-2)
+        return (xf * cos_t + rolled * sin_eff_t).astype(x.dtype)
+
+    q = rope(q)
+    k = rope(k)
+    s = jnp.einsum("bmdn,bmdk->bmnk", q, k,
+                   preferred_element_type=jnp.float32) * (Dh ** -0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bmnk,bmdk->bmdn", p, v,
+                      preferred_element_type=jnp.float32).astype(qkv_t.dtype)
+
+
+def fused_rope_attention_premapped_dmaj(qkv_t: jnp.ndarray,
+                                        sin: jnp.ndarray | None,
+                                        cos: jnp.ndarray | None,
+                                        interpret: bool = False) -> jnp.ndarray:
+    """qkv_t: (B, 3, M, Dh, N) — the QKV projection emitted Dh-major
+    (models/vit.py computes it as `bnc,cpmd->bpmdn`, whose transposed write
+    folds into the matmul and whose minor dim N fills whole 128-lane tiles,
+    unlike the (N, Dh=64) layout). sin/cos: (N, Dh) fp32 RoPE tables as
+    everywhere else (transposed once here — XLA CSEs the transpose across
+    the 12 blocks sharing the tables). Returns (B, M, Dh, N) channel-major,
+    identical to fused_rope_attention_premapped."""
+    N, Dh = qkv_t.shape[4], qkv_t.shape[3]
+    if sin is not None:
+        half = Dh // 2
+        sin_eff = jnp.concatenate(
+            [-sin[:, :half], sin[:, half:]], axis=-1).astype(jnp.float32)
+        sin_eff_t, cos_t = sin_eff.T, cos.astype(jnp.float32).T
+    else:
+        sin_eff_t = jnp.zeros((Dh, N), jnp.float32)
+        cos_t = jnp.ones((Dh, N), jnp.float32)
+    return _fused_rope_attention_dmaj(qkv_t, sin_eff_t, cos_t, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_rope_attention_dmaj(qkv_t, sin_eff_t, cos_t, interpret=False):
+    return _pallas_forward_dmaj(qkv_t, sin_eff_t, cos_t, interpret)
+
+
+def _vjp_fwd_dmaj(qkv_t, sin_eff_t, cos_t, interpret):
+    return _pallas_forward_dmaj(qkv_t, sin_eff_t, cos_t, interpret), (
+        qkv_t, sin_eff_t, cos_t)
+
+
+def _vjp_bwd_dmaj(interpret, res, g):
+    qkv_t, sin_eff_t, cos_t = res
+    _, pullback = jax.vjp(
+        lambda q: _xla_reference_dmaj(q, sin_eff_t, cos_t), qkv_t)
+    return (pullback(g)[0], jnp.zeros_like(sin_eff_t), jnp.zeros_like(cos_t))
+
+
+_fused_rope_attention_dmaj.defvjp(_vjp_fwd_dmaj, _vjp_bwd_dmaj)
+
+
+def _pallas_forward_dmaj(qkv_t, sin_eff_t, cos_t, interpret=False):
+    B, three, M, Dh, N = qkv_t.shape
+    assert three == 3
+
+    kern = functools.partial(_kernel_pm_dmaj, Dh ** -0.5)
+
+    def plane(p):
+        return pl.BlockSpec((1, 1, 1, Dh, N), lambda b, m, _p=p: (b, _p, m, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    table_spec = pl.BlockSpec((Dh, N), lambda b, m: (0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, M),
+        in_specs=[plane(0), plane(1), plane(2), table_spec, table_spec],
+        out_specs=pl.BlockSpec((1, 1, Dh, N), lambda b, m: (b, m, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, Dh, N), qkv_t.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * M * N * N * Dh,
+            bytes_accessed=qkv_t.dtype.itemsize * 4 * B * M * N * Dh,
+            transcendentals=B * M * N * N,
+        ),
+        interpret=interpret,
+    )(qkv_t, qkv_t, qkv_t, sin_eff_t, cos_t)
+
+
 def _xla_reference_pm(qkv_t, sin_eff, cos):
     """Einsum formulation over the premapped (B, 3, M, N, Dh) layout,
     returning (B, M, Dh, N) — numerical source for the custom VJP."""

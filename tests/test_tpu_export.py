@@ -170,6 +170,15 @@ class TestDenseAttentionExports:
             lambda qkv, s, c: fused_rope_attention_premapped(qkv, s, c),
             S((2, 3, 2, N, Dh), BF), S((N, Dh), F32), S((N, Dh), F32))
 
+    def test_fused_rope_attention_dmaj(self):
+        from dinounet_tpu.ops.attention_pallas import (
+            fused_rope_attention_premapped_dmaj)
+
+        N, Dh = 256, 64
+        tpu_export(
+            lambda qkv, s, c: fused_rope_attention_premapped_dmaj(qkv, s, c),
+            S((2, 3, 2, Dh, N), BF), S((N, Dh), F32), S((N, Dh), F32))
+
 
 def test_full_model_inference_export(monkeypatch):
     """Export the flagship inference forward in its full TPU configuration

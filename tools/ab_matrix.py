@@ -85,8 +85,23 @@ INNER_MATRIX = {
                       "DINOUNET_TPU_CONV_CM_INNER": "merged"},
 }
 
+# backbone micro-knobs (round 3): Dh-major premapped attention layout
+# (full-lane qkv tiles) and XLA-side GELU placement (kernel erf/exp VPU work
+# off the fused fc2 matmul's critical path)
+BACKBONE_MATRIX = {
+    "base":      {"DINOUNET_TPU_ATTN_LAYOUT": "ndh",
+                  "DINOUNET_TPU_MLP_GELU": "kernel"},
+    "dmaj":      {"DINOUNET_TPU_ATTN_LAYOUT": "dmaj",
+                  "DINOUNET_TPU_MLP_GELU": "kernel"},
+    "gelu-xla":  {"DINOUNET_TPU_ATTN_LAYOUT": "ndh",
+                  "DINOUNET_TPU_MLP_GELU": "xla"},
+    "both":      {"DINOUNET_TPU_ATTN_LAYOUT": "dmaj",
+                  "DINOUNET_TPU_MLP_GELU": "xla"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
-            "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX}
+            "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX,
+            "backbone": BACKBONE_MATRIX}
 
 
 def main():

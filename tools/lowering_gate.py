@@ -143,6 +143,10 @@ def gate_kernels():
     cos = _rand(next(ks), (N, dh), jnp.float32)
     gate("fused_rope_attention_premapped",
          lambda qkv: ap.fused_rope_attention_premapped(qkv, sin, cos), q)
+    q_dmaj = _rand(next(ks), (8, 3, heads, dh, N))
+    gate("fused_rope_attention_premapped[dmaj]",
+         lambda qkv: ap.fused_rope_attention_premapped_dmaj(qkv, sin, cos),
+         q_dmaj)
 
     # --- MSDA family (premapped + fused prep), fwd and vjp ---
     Lq, P = 1029, 4
