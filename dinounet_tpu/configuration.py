@@ -133,11 +133,17 @@ def mlp_gelu_impl() -> str:
     kernel — XLA fuses it into fc1's epilogue (no extra pass) and the fc2
     kernel runs matmul-only.
 
-    DINOUNET_TPU_MLP_GELU in {"kernel", "xla"}. Only consulted on the fused
-    bf16 dense path (the int8 kernels keep their in-kernel GELU prologue,
-    which is load-bearing for the quantization layout)."""
+    "chunked": in-kernel like "kernel", but the GELU+matmul unrolls over
+    K-chunks (DINOUNET_TPU_GELU_KBLK, default 768) so the VPU erf/exp work
+    of chunk j+1 can overlap chunk j's MXU contraction; the f32-accumulator
+    regrouping can move rare output elements by 1 bf16 ulp vs "kernel"
+    (dense_stats_pallas.py::_kernel).
+
+    DINOUNET_TPU_MLP_GELU in {"kernel", "xla", "chunked"}. Only consulted on
+    the fused bf16 dense path (the int8 kernels keep their in-kernel GELU
+    prologue, which is load-bearing for the quantization layout)."""
     impl = os.environ.get("DINOUNET_TPU_MLP_GELU", "kernel")
-    return impl if impl in ("kernel", "xla") else "kernel"
+    return impl if impl in ("kernel", "xla", "chunked") else "kernel"
 
 
 def fused_dense_impl() -> str:

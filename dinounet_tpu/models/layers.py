@@ -10,6 +10,7 @@ reference's SyncBatchNorm (ref: dinov3_adapter.py:361-364) comes for free.
 """
 
 import functools
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -243,6 +244,35 @@ class DepthwiseSeparableConv(nn.Module):
         return nonlin_fn(self.nonlin, self.nonlin_kwargs)(x)
 
 
+def _phase_transpconv2x2(x, k, b):
+    """ConvTranspose(kernel=stride=2) as two phase matmuls + free reshapes:
+    out[b, 2h+dy, 2w+dx, co] = sum_ci x[b,h,w,ci]*k[1-dy,1-dx,ci,co] + b[co]
+    (lax.conv_transpose(transpose_kernel=False) correlates with the kernel
+    spatially flipped — probed on this backend).
+
+    Each output phase is an independent 1x1 projection of the input, so the
+    op is two (Ci, 2*Co) matmuls (columns dx-major, making the (w, dx) merge
+    a plain reshape) and an interleave of adjacent dims — MXU-friendly M/K/N
+    where XLA's conv_transpose lowering runs well off the HBM floor on the
+    model's 2x2/s2 upsamplers (round-3 trace: encoder up0 1.24 ms,
+    adapter up 0.96, decoder transpconv2 1.05)."""
+    B, H, W, Ci = x.shape
+    Co = k.shape[-1]
+    rows = []
+    for dy in (0, 1):
+        kd = jnp.concatenate([k[1 - dy, 1], k[1 - dy, 0]], axis=-1)  # (Ci, 2*Co)
+        r = jnp.einsum("bhwi,io->bhwo", x, kd)
+        rows.append(r.reshape(B, H, 2 * W, Co))
+    return jnp.stack(rows, axis=2).reshape(B, 2 * H, 2 * W, Co) + b
+
+
+def _use_phase_transpconv() -> bool:
+    """DINOUNET_TPU_TRANSPCONV_IMPL in {"conv", "phase"}: formulation of the
+    2x2/stride-2 transposed convs (identical params/math; see
+    _phase_transpconv2x2)."""
+    return os.environ.get("DINOUNET_TPU_TRANSPCONV_IMPL", "conv") == "phase"
+
+
 class TransposedConv(nn.Module):
     """ConvTranspose2d(kernel=stride) equivalent: exact x2 (or sxs) upsampling.
 
@@ -257,6 +287,13 @@ class TransposedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, logical_in: Optional[int] = None):
+        if (logical_in is None and tuple(self.stride) == (2, 2)
+                and _use_phase_transpconv()):
+            k, b = _TranspConvInnerParams(self.features, self.use_bias,
+                                          name="transpconv")(x.shape[-1])
+            return _phase_transpconv2x2(
+                x.astype(self.dtype), k.astype(self.dtype),
+                b.astype(self.dtype))
         if logical_in is not None and logical_in != x.shape[-1]:
             k, b = _TranspConvInnerParams(self.features, self.use_bias,
                                           name="transpconv")(logical_in)
@@ -338,9 +375,77 @@ def _resize_matrix(src: int, dst: int, antialias: bool = False):
     return out
 
 
+def _phase_axis_resize(y, axis: int, dst: int, ct):
+    """Integer-ratio bilinear resize along `axis` as per-phase 2-tap lerps.
+
+    For integer up/down ratios every `_resize_matrix` row has at most two
+    nonzero taps, so the resize is s interleaved elementwise lerps instead of
+    a K=src matmul — XLA emits one fused VPU pass at the HBM floor where the
+    einsum form runs ~3x over it (round-3 trace: the wW einsums cost 1.05 ms
+    vs a 0.31 ms floor). The tap weights are rounded to the compute dtype
+    like the matrix cast, both paths form the two products and their sum in
+    f32, and the result is rounded once — bitwise-identical to the einsum
+    path for bf16 inputs (the in-model dtype; the 2-tap f32 arithmetic on
+    bf16 values is exact), within 1 ulp for f32 inputs (the einsum's dot may
+    FMA where this path rounds each product) and for non-dyadic integer
+    ratios (edge renormalization vs replicate-pad when w0+w1 rounds off
+    1)."""
+    src = y.shape[axis]
+
+    def axslice(arr, start, length):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(start, start + length)
+        return arr[tuple(idx)]
+
+    yf = y.astype(jnp.float32)
+    if dst % src == 0:  # integer upscale
+        s = dst // src
+        first = axslice(yf, 0, 1)
+        last = axslice(yf, src - 1, 1)
+        ypad = jnp.concatenate([first, yf, last], axis=axis)  # edge replicate
+        phases = []
+        for p in range(s):
+            center = (p + 0.5) / s - 0.5
+            d0 = int(np.floor(center))
+            w1 = float(jnp.asarray(center - d0, ct))  # round like the matrix
+            w0 = float(jnp.asarray(1.0 - (center - d0), ct))
+            a = axslice(ypad, 1 + d0, src)
+            b = axslice(ypad, 2 + d0, src)
+            phases.append(a * w0 + b * w1)
+        out = jnp.stack(phases, axis=axis + 1)  # (..., src, s, ...)
+        new_shape = list(y.shape)
+        new_shape[axis] = src * s
+        return out.reshape(new_shape).astype(ct)
+    # integer downscale (non-antialias: always <=2 taps, both in-group)
+    s = src // dst
+    gshape = list(y.shape)
+    gshape[axis:axis + 1] = [dst, s]
+    g = yf.reshape(gshape)
+
+    def gslice(k):
+        idx = [slice(None)] * len(gshape)
+        idx[axis + 1] = k
+        return g[tuple(idx)]
+
+    if s % 2 == 1:
+        out = gslice(s // 2)
+    else:
+        half = float(jnp.asarray(0.5, ct))
+        out = gslice(s // 2 - 1) * half + gslice(s // 2) * half
+    return out.astype(ct)
+
+
+def _use_phase_resize() -> bool:
+    """DINOUNET_TPU_RESIZE_IMPL in {"matmul", "phase"}: formulation of the
+    integer-ratio bilinear resizes (the adapter's add_vit_feature 4x/2x/0.5x
+    maps). Fractional ratios always take the matmul path."""
+    return os.environ.get("DINOUNET_TPU_RESIZE_IMPL", "matmul") == "phase"
+
+
 def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize NHWC, matching F.interpolate(align_corners=False,
-    antialias=False), as two matmuls.
+    antialias=False), as two matmuls (or phase-decomposed lerps for integer
+    ratios — see _phase_axis_resize).
 
     bf16 inputs stream through the MXU in bf16 (f32 accumulation inside the
     matmul): these resizes sit on 100+ MB activation maps where an fp32
@@ -350,11 +455,20 @@ def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     if (H, W) == tuple(size):
         return x
     ct = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    phase = _use_phase_resize()
     y = x.astype(ct)
     if size[0] != H:
-        y = jnp.einsum("hH,bHwc->bhwc", jnp.asarray(_resize_matrix(H, size[0]), ct), y)
+        if phase and (size[0] % H == 0 or H % size[0] == 0):
+            y = _phase_axis_resize(y, 1, size[0], ct)
+        else:
+            y = jnp.einsum("hH,bHwc->bhwc",
+                           jnp.asarray(_resize_matrix(H, size[0]), ct), y)
     if size[1] != W:
-        y = jnp.einsum("wW,bhWc->bhwc", jnp.asarray(_resize_matrix(W, size[1]), ct), y)
+        if phase and (size[1] % W == 0 or W % size[1] == 0):
+            y = _phase_axis_resize(y, 2, size[1], ct)
+        else:
+            y = jnp.einsum("wW,bhWc->bhwc",
+                           jnp.asarray(_resize_matrix(W, size[1]), ct), y)
     return y.astype(x.dtype)
 
 

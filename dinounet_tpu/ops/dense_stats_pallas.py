@@ -35,6 +35,7 @@ paths) — the same pattern as ops/attention_pallas.py.
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,16 +68,34 @@ def _gelu_kernel(hf):
     return hf * 0.5 * (1.0 + _erf_as7126(hf * _INV_SQRT2))
 
 
-def _kernel(apply_gelu, h_ref, w_ref, b_ref, res_ref, g_ref,
+def _kernel(apply_gelu, gelu_kblk, h_ref, w_ref, b_ref, res_ref, g_ref,
             o_ref, mu_ref, var_ref):
     """One program = one (batch, row-block). h: (1, R, K); w: (K, D);
-    b/g: (1, D); res/o: (1, R, D); mu/var: (1, R, 1)."""
-    h = h_ref[0]
-    if apply_gelu:
-        h = _gelu_kernel(h.astype(jnp.float32)).astype(h.dtype)
-    acc = jax.lax.dot_general(
-        h, w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    b/g: (1, D); res/o: (1, R, D); mu/var: (1, R, 1).
+
+    gelu_kblk > 0 unrolls the GELU+matmul over K-chunks of that width so
+    Mosaic's scheduler can software-pipeline chunk j+1's erf/exp VPU work
+    against chunk j's MXU contraction (the monolithic form serializes them:
+    0.369 ms vs the 0.197 ms matmul-only ideal in the round-3 trace). The
+    f32 accumulator regroups chunk partial sums, so the bf16 output can
+    differ from the monolithic kernel by 1 ulp on rare elements — opt-in via
+    DINOUNET_TPU_MLP_GELU=chunked."""
+    if apply_gelu and gelu_kblk:
+        acc = None
+        for k0 in range(0, h_ref.shape[2], gelu_kblk):
+            hc = h_ref[0, :, k0:k0 + gelu_kblk]
+            hc = _gelu_kernel(hc.astype(jnp.float32)).astype(hc.dtype)
+            p = jax.lax.dot_general(
+                hc, w_ref[k0:k0 + gelu_kblk, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = p if acc is None else acc + p
+    else:
+        h = h_ref[0]
+        if apply_gelu:
+            h = _gelu_kernel(h.astype(jnp.float32)).astype(h.dtype)
+        acc = jax.lax.dot_general(
+            h, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     y = acc.astype(o_ref.dtype) + b_ref[...].astype(o_ref.dtype)
     out = res_ref[0] + y * g_ref[...].astype(o_ref.dtype)
     o_ref[0] = out
@@ -89,6 +108,26 @@ def _kernel(apply_gelu, h_ref, w_ref, b_ref, res_ref, g_ref,
     m2 = jnp.mean(of * of, axis=-1, keepdims=True)
     mu_ref[0] = mu
     var_ref[0] = jnp.maximum(m2 - mu * mu, 0.0)
+
+
+def _env_cap(name: str, default: int = 384) -> int:
+    """Block-size cap tuning knob (read per trace; bench tiers run in their
+    own subprocess so a sweep sets the env before spawning)."""
+    try:
+        return max(8, int(os.environ.get(name, default)))
+    except ValueError:
+        return default
+
+
+def _pick_k_chunk(K: int, cap: int) -> int:
+    """Largest multiple of 128 that divides K and is <= cap (lane-tile-aligned
+    static slices of the K dim); 0 when none exists (falls back to the
+    monolithic kernel)."""
+    best = 0
+    for c in range(128, cap + 1, 128):
+        if K % c == 0:
+            best = c
+    return best
 
 
 def _pick_row_block(n: int, cap: int = 384) -> int:
@@ -152,8 +191,11 @@ _dense_residual_stats.defvjp(_vjp_fwd, _vjp_bwd)
 def _forward(h, w, b, res, gamma, apply_gelu, interpret):
     B, N, K = h.shape
     D = w.shape[1]
-    blk = _pick_row_block(N)
-    kern = functools.partial(_kernel, apply_gelu)
+    blk = _pick_row_block(N, _env_cap("DINOUNET_TPU_DENSE_ROWS"))
+    kblk = 0
+    if apply_gelu and os.environ.get("DINOUNET_TPU_MLP_GELU") == "chunked":
+        kblk = _pick_k_chunk(K, _env_cap("DINOUNET_TPU_GELU_KBLK", 768))
+    kern = functools.partial(_kernel, apply_gelu, kblk)
     wc = w.astype(h.dtype)
     out, mu, var = pl.pallas_call(
         kern,
@@ -271,7 +313,7 @@ _dense_cm_residual_stats.defvjp(_cm_vjp_fwd, _cm_vjp_bwd)
 def _cm_forward(h_t, w, b, res, gamma, interpret):
     B, K, N = h_t.shape
     D = w.shape[1]
-    blk = _pick_lane_block(N)
+    blk = _pick_lane_block(N, _env_cap("DINOUNET_TPU_DENSE_LANES"))
     wc = w.astype(h_t.dtype)
     out, mu, var = pl.pallas_call(
         _cm_kernel,

@@ -49,6 +49,50 @@ class TestKernel:
         np.testing.assert_allclose(np.asarray(mu), np.asarray(rmu), atol=2e-3)
         np.testing.assert_allclose(np.asarray(var), np.asarray(rvar), atol=4e-3)
 
+    def test_chunked_gelu_matches_reference(self, rng, monkeypatch):
+        """DINOUNET_TPU_MLP_GELU=chunked: K-chunked GELU+matmul unroll. The
+        f32 accumulator regroups chunk partial sums, so the bf16 output may
+        differ from the monolithic kernel by 1 ulp on rare elements — assert
+        1-ulp closeness plus stats consistency with the stored output."""
+        from dinounet_tpu.ops.dense_stats_pallas import (
+            _reference, dense_residual_stats)
+
+        monkeypatch.setenv("DINOUNET_TPU_MLP_GELU", "chunked")
+        monkeypatch.setenv("DINOUNET_TPU_GELU_KBLK", "128")
+        B, N, K, D = 2, 200, 256, 64  # 2 K-chunks of 128
+        h = _rand(rng, (B, N, K))
+        w = _rand(rng, (K, D), jnp.float32, 0.1)
+        b = _rand(rng, (D,), jnp.float32, 0.1)
+        res = _rand(rng, (B, N, D))
+        g = _rand(rng, (D,), jnp.float32, 0.01)
+        out, mu, var = dense_residual_stats(h, w, b, res, g,
+                                            apply_gelu=True, interpret=True)
+        ro, _, _ = _reference(h, w, b, res, g, True)
+        of = np.asarray(out, np.float32)
+        rf = np.asarray(ro, np.float32)
+        np.testing.assert_allclose(of, rf, rtol=0.011, atol=1e-5)
+        # the stats must still describe the *stored* tensor exactly
+        np.testing.assert_allclose(np.asarray(mu), of.mean(-1), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(var), of.var(-1), atol=4e-3)
+
+    def test_chunked_gelu_indivisible_k_falls_back(self, rng, monkeypatch):
+        """K not divisible by any 128-multiple chunk -> monolithic kernel
+        (bitwise-identical to the reference)."""
+        from dinounet_tpu.ops.dense_stats_pallas import (
+            _reference, dense_residual_stats)
+
+        monkeypatch.setenv("DINOUNET_TPU_MLP_GELU", "chunked")
+        h = _rand(rng, (1, 40, 96))
+        w = _rand(rng, (96, 64), jnp.float32, 0.1)
+        b = _rand(rng, (64,), jnp.float32, 0.1)
+        res = _rand(rng, (1, 40, 64))
+        g = _rand(rng, (64,), jnp.float32, 0.01)
+        out, _, _ = dense_residual_stats(h, w, b, res, g,
+                                         apply_gelu=True, interpret=True)
+        ro, _, _ = _reference(h, w, b, res, g, True)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ro, np.float32))
+
     def test_stats_describe_output(self, rng):
         """mean/var must be usable as LayerNorm stats of the returned tensor."""
         from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats

@@ -306,3 +306,101 @@ def test_converter_bf16_checkpoint(tmp_path):
     assert str(k.dtype) == "bfloat16"
     ref = sd["blocks.0.attn.qkv.weight"].float().numpy().T
     np.testing.assert_array_equal(ref, np.asarray(k, np.float32))
+
+
+class TestPhaseResize:
+    """Phase-decomposed integer-ratio bilinear resize vs the matmul path
+    (models/layers.py::_phase_axis_resize) and vs torch F.interpolate."""
+
+    def _pair(self, shape, size, dtype, monkeypatch):
+        from dinounet_tpu.models import layers
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=shape), dtype)
+        monkeypatch.setenv("DINOUNET_TPU_RESIZE_IMPL", "matmul")
+        ref = layers.bilinear_resize(x, size)
+        monkeypatch.setenv("DINOUNET_TPU_RESIZE_IMPL", "phase")
+        got = layers.bilinear_resize(x, size)
+        return got, ref, x
+
+    PAIRS = [
+        ((2, 8, 8, 5), (32, 32)),   # 4x up — the add_vit_feature scale-0 map
+        ((2, 8, 8, 5), (16, 16)),   # 2x up
+        ((2, 8, 8, 5), (4, 4)),     # 0.5x down
+        ((1, 8, 6, 3), (32, 12)),   # mixed 4x/2x
+        ((1, 9, 9, 2), (3, 3)),     # odd 3x down (single-tap phases)
+    ]
+
+    @pytest.mark.parametrize("shape,size", PAIRS)
+    def test_bf16_bitwise_vs_matmul(self, shape, size, monkeypatch):
+        # bf16 is the in-model dtype: the 2-tap products/sum are exact in the
+        # f32 compute both paths share, so the rounded outputs are identical
+        got, ref, _ = self._pair(shape, size, jnp.bfloat16, monkeypatch)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+
+    @pytest.mark.parametrize("shape,size", PAIRS + [((1, 8, 8, 4), (24, 24))])
+    def test_f32_close_vs_matmul(self, shape, size, monkeypatch):
+        # f32 differs by <=1 ulp: the einsum's dot may fuse multiply-adds
+        # (FMA) where the phase path rounds each product
+        got, ref, _ = self._pair(shape, size, jnp.float32, monkeypatch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
+
+    def test_fractional_falls_back(self, monkeypatch):
+        # 8 -> 12 is not an integer ratio either way: both paths must take
+        # the einsum formulation and agree exactly
+        got, ref, _ = self._pair((1, 8, 8, 4), (12, 12), jnp.float32,
+                                 monkeypatch)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_matches_torch_interpolate(self, monkeypatch):
+        import torch
+        import torch.nn.functional as F
+
+        got, _, x = self._pair((2, 8, 8, 5), (32, 16), jnp.float32,
+                               monkeypatch)
+        t = torch.from_numpy(np.asarray(x, np.float32)).permute(0, 3, 1, 2)
+        ref = F.interpolate(t, size=(32, 16), mode="bilinear",
+                            align_corners=False)
+        np.testing.assert_allclose(
+            np.asarray(got), ref.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-5, atol=1e-5)
+
+
+class TestPhaseTranspConv:
+    """Phase-matmul 2x2/s2 transposed conv vs flax nn.ConvTranspose
+    (models/layers.py::_phase_transpconv2x2): same param tree, same values."""
+
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+    def test_matches_conv_transpose(self, dtype, monkeypatch):
+        from dinounet_tpu.models.layers import TransposedConv
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 6, 5, 12)), dtype)
+        mod = TransposedConv(9, dtype=dtype)
+        monkeypatch.setenv("DINOUNET_TPU_TRANSPCONV_IMPL", "conv")
+        vars_ = mod.init(jax.random.key(0), x)
+        ref = mod.apply(vars_, x)
+        monkeypatch.setenv("DINOUNET_TPU_TRANSPCONV_IMPL", "phase")
+        vars_p = mod.init(jax.random.key(0), x)
+        # identical param tree (names, shapes, init values)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            vars_, vars_p)
+        got = mod.apply(vars_, x)
+        assert got.shape == ref.shape == (2, 12, 10, 9)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2 if dtype == jnp.bfloat16 else 2e-6,
+                                   atol=1e-3 if dtype == jnp.bfloat16 else 1e-6)
+
+    def test_non2x2_keeps_conv_path(self, monkeypatch):
+        from dinounet_tpu.models.layers import TransposedConv
+
+        monkeypatch.setenv("DINOUNET_TPU_TRANSPCONV_IMPL", "phase")
+        x = jnp.zeros((1, 4, 4, 3), jnp.float32)
+        mod = TransposedConv(5, stride=(3, 3), dtype=jnp.float32)
+        vars_ = mod.init(jax.random.key(0), x)
+        assert mod.apply(vars_, x).shape == (1, 12, 12, 5)

@@ -99,9 +99,65 @@ BACKBONE_MATRIX = {
                   "DINOUNET_TPU_MLP_GELU": "xla"},
 }
 
+# fused dense block-size sweep (round 3): the fused fc2 kernel runs at ~53%
+# MFU (0.369 ms/block vs 0.197 ideal, trace r3d); sweep the row-block cap
+# (N=1029 -> 3x344 at the 384 default; >=520 with the GELU prologue fails to
+# compile) and the cm-variant's lane-block cap. "chunked" unrolls the fc2
+# GELU+matmul over K-chunks to overlap VPU erf/exp with the MXU.
+MLPROWS_MATRIX = {
+    "rows-208":      {"DINOUNET_TPU_DENSE_ROWS": "208"},
+    "rows-384":      {"DINOUNET_TPU_DENSE_ROWS": "384"},
+    "chunked-768":   {"DINOUNET_TPU_MLP_GELU": "chunked",
+                      "DINOUNET_TPU_GELU_KBLK": "768"},
+    "chunked-384":   {"DINOUNET_TPU_MLP_GELU": "chunked",
+                      "DINOUNET_TPU_GELU_KBLK": "384"},
+    "chunked-1536":  {"DINOUNET_TPU_MLP_GELU": "chunked",
+                      "DINOUNET_TPU_GELU_KBLK": "1536"},
+}
+CMLANES_MATRIX = {
+    "lanes-256":  {"DINOUNET_TPU_DENSE_LANES": "256"},
+    "lanes-384":  {"DINOUNET_TPU_DENSE_LANES": "384"},
+    "lanes-512":  {"DINOUNET_TPU_DENSE_LANES": "512"},
+    "lanes-1152": {"DINOUNET_TPU_DENSE_LANES": "1152"},
+}
+
+# integer-ratio bilinear resize formulation (round 3): phase-decomposed
+# 2-tap lerps vs the K=32 einsum matmuls (models/layers.py::bilinear_resize).
+# Duplicate rows bound the run-to-run noise for a ~1%-scale comparison.
+RESIZE_MATRIX = {
+    "matmul":   {"DINOUNET_TPU_RESIZE_IMPL": "matmul"},
+    "phase":    {"DINOUNET_TPU_RESIZE_IMPL": "phase"},
+    "matmul-2": {"DINOUNET_TPU_RESIZE_IMPL": "matmul"},
+    "phase-2":  {"DINOUNET_TPU_RESIZE_IMPL": "phase"},
+}
+
+# confirm pair for the chunked-GELU fc2 (first sweep: chunked-384 158.78 vs
+# kernel 157.89 — inside the noise band, needs replication before a default
+# flip)
+GELU_CONFIRM_MATRIX = {
+    "kernel-a":  {"DINOUNET_TPU_MLP_GELU": "kernel"},
+    "chunked-a": {"DINOUNET_TPU_MLP_GELU": "chunked",
+                  "DINOUNET_TPU_GELU_KBLK": "384"},
+    "kernel-b":  {"DINOUNET_TPU_MLP_GELU": "kernel"},
+    "chunked-b": {"DINOUNET_TPU_MLP_GELU": "chunked",
+                  "DINOUNET_TPU_GELU_KBLK": "384"},
+}
+
+# 2x2/s2 transposed-conv formulation (round 3): two phase matmuls + free
+# reshapes vs lax.conv_transpose (models/layers.py::_phase_transpconv2x2);
+# targets encoder up0 1.24 + adapter up 0.96 + decoder transpconv2 1.05 ms.
+TRANSPCONV_MATRIX = {
+    "conv":    {"DINOUNET_TPU_TRANSPCONV_IMPL": "conv"},
+    "phase":   {"DINOUNET_TPU_TRANSPCONV_IMPL": "phase"},
+    "conv-2":  {"DINOUNET_TPU_TRANSPCONV_IMPL": "conv"},
+    "phase-2": {"DINOUNET_TPU_TRANSPCONV_IMPL": "phase"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
             "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX,
-            "backbone": BACKBONE_MATRIX}
+            "backbone": BACKBONE_MATRIX, "mlprows": MLPROWS_MATRIX,
+            "cmlanes": CMLANES_MATRIX, "resize": RESIZE_MATRIX,
+            "gelu": GELU_CONFIRM_MATRIX, "transpconv": TRANSPCONV_MATRIX}
 
 
 def main():
