@@ -407,8 +407,10 @@ def _phase_axis_resize(y, axis: int, dst: int, ct):
         for p in range(s):
             center = (p + 0.5) / s - 0.5
             d0 = int(np.floor(center))
-            w1 = float(jnp.asarray(center - d0, ct))  # round like the matrix
-            w0 = float(jnp.asarray(1.0 - (center - d0), ct))
+            # round the weights like the matrix cast (numpy: jnp would stage
+            # a tracer under jit)
+            w1 = float(np.asarray(center - d0, np.dtype(ct)))
+            w0 = float(np.asarray(1.0 - (center - d0), np.dtype(ct)))
             a = axslice(ypad, 1 + d0, src)
             b = axslice(ypad, 2 + d0, src)
             phases.append(a * w0 + b * w1)
@@ -430,8 +432,7 @@ def _phase_axis_resize(y, axis: int, dst: int, ct):
     if s % 2 == 1:
         out = gslice(s // 2)
     else:
-        half = float(jnp.asarray(0.5, ct))
-        out = gslice(s // 2 - 1) * half + gslice(s // 2) * half
+        out = gslice(s // 2 - 1) * 0.5 + gslice(s // 2) * 0.5
     return out.astype(ct)
 
 

@@ -170,16 +170,25 @@ def main():
         "DINOUNET_TPU_BENCH_MODEL", "dinounet_b"))
     ap.add_argument("--set", default=None, choices=sorted(MATRICES),
                     help="named knob matrix (full/quick/int8)")
+    ap.add_argument("--rows", default=None,
+                    help="comma-separated subset of row names to run")
+    ap.add_argument("--timeout", type=int, default=2700,
+                    help="per-row subprocess timeout (cold compiles through "
+                         "the relay have measured >1400s; a timeout that "
+                         "fires mid-compile wedges the relay)")
     args = ap.parse_args()
 
     floor = SUSPECT_FRACTION * LAST_KNOWN_GOOD.get(args.model, 0.0)
     matrix = MATRICES[args.set] if args.set else (
         QUICK_MATRIX if args.quick else FULL_MATRIX)
+    if args.rows:
+        keep = {r.strip() for r in args.rows.split(",")}
+        matrix = {k: v for k, v in matrix.items() if k in keep}
     rows = []
     for name, knobs in matrix.items():
         knobs = dict(knobs, DINOUNET_TPU_BENCH_MODEL=args.model)
         print(f"=== {name}: {knobs} ===", flush=True)
-        value, err = measure_tier(knobs, args.batch)
+        value, err = measure_tier(knobs, args.batch, timeout_s=args.timeout)
         row = {"name": name, "knobs": knobs, "batch": args.batch}
         if value is None:
             row["error"] = err
