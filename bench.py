@@ -40,7 +40,7 @@ BASELINE_PATCHES_PER_SEC = 60.0  # estimated A100 PyTorch reference (see above)
 # through a dying relay that were meaningless as kernel comparisons.
 LAST_KNOWN_GOOD = {
     "dinounet_s": 201.6,
-    "dinounet_b": 156.9,
+    "dinounet_b": 159.4,
     "dinounet_l": 67.8,
     "dinounet_7b": 7.7,
 }
@@ -280,7 +280,7 @@ def main():
                 os.environ.get("DINOUNET_TPU_ATTN_LAYOUT", "dmaj")),
             "mlp_gelu": win.get(
                 "DINOUNET_TPU_MLP_GELU",
-                os.environ.get("DINOUNET_TPU_MLP_GELU", "kernel")),
+                os.environ.get("DINOUNET_TPU_MLP_GELU", "chunked")),
             "conv_cm_inner": win.get(
                 "DINOUNET_TPU_CONV_CM_INNER",
                 os.environ.get("DINOUNET_TPU_CONV_CM_INNER", "merged")),

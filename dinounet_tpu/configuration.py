@@ -134,16 +134,20 @@ def mlp_gelu_impl() -> str:
     kernel runs matmul-only.
 
     "chunked": in-kernel like "kernel", but the GELU+matmul unrolls over
-    K-chunks (DINOUNET_TPU_GELU_KBLK, default 768) so the VPU erf/exp work
+    K-chunks (DINOUNET_TPU_GELU_KBLK, default 384) so the VPU erf/exp work
     of chunk j+1 can overlap chunk j's MXU contraction; the f32-accumulator
     regrouping can move rare output elements by 1 bf16 ulp vs "kernel"
     (dense_stats_pallas.py::_kernel).
 
-    DINOUNET_TPU_MLP_GELU in {"kernel", "xla", "chunked"}. Only consulted on
-    the fused bf16 dense path (the int8 kernels keep their in-kernel GELU
-    prologue, which is load-bearing for the quantization layout)."""
-    impl = os.environ.get("DINOUNET_TPU_MLP_GELU", "kernel")
-    return impl if impl in ("kernel", "xla", "chunked") else "kernel"
+    DINOUNET_TPU_MLP_GELU in {"kernel", "xla", "chunked"}; default "chunked"
+    — the round-3 hardware A/B plus its replication pair measured chunked
+    158.78/158.79/159.38 vs kernel 157.89/157.88/157.88 p/s end-to-end
+    (`.bench_logs/ab_mlprows_r3.json`, `ab_gelu_r3.json` — consistent sign
+    across 6 subprocess-isolated rows). Only consulted on the fused bf16
+    dense path (the int8 kernels keep their in-kernel GELU prologue, which
+    is load-bearing for the quantization layout)."""
+    impl = os.environ.get("DINOUNET_TPU_MLP_GELU", "chunked")
+    return impl if impl in ("kernel", "xla", "chunked") else "chunked"
 
 
 def fused_dense_impl() -> str:

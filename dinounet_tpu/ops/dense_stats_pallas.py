@@ -193,8 +193,11 @@ def _forward(h, w, b, res, gamma, apply_gelu, interpret):
     D = w.shape[1]
     blk = _pick_row_block(N, _env_cap("DINOUNET_TPU_DENSE_ROWS"))
     kblk = 0
-    if apply_gelu and os.environ.get("DINOUNET_TPU_MLP_GELU") == "chunked":
-        kblk = _pick_k_chunk(K, _env_cap("DINOUNET_TPU_GELU_KBLK", 768))
+    if apply_gelu:
+        from dinounet_tpu.configuration import mlp_gelu_impl
+
+        if mlp_gelu_impl() == "chunked":
+            kblk = _pick_k_chunk(K, _env_cap("DINOUNET_TPU_GELU_KBLK", 384))
     kern = functools.partial(_kernel, apply_gelu, kblk)
     wc = w.astype(h.dtype)
     out, mu, var = pl.pallas_call(
