@@ -436,6 +436,14 @@ def _phase_axis_resize(y, axis: int, dst: int, ct):
     return out.astype(ct)
 
 
+def _resize_emit_bhcw() -> bool:
+    """DINOUNET_TPU_RESIZE_EMIT in {"bhwc", "bhcw"}: output-dim order of the
+    W-axis resize einsum (read per call so A/B probes can toggle in-process).
+    See the inline comment in bilinear_resize; default set by the round-3
+    hardware A/B."""
+    return os.environ.get("DINOUNET_TPU_RESIZE_EMIT", "bhwc") == "bhcw"
+
+
 def _use_phase_resize() -> bool:
     """DINOUNET_TPU_RESIZE_IMPL in {"matmul", "phase"}: formulation of the
     integer-ratio bilinear resizes (the adapter's add_vit_feature 4x/2x/0.5x
@@ -467,6 +475,16 @@ def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     if size[1] != W:
         if phase and (size[1] % W == 0 or W % size[1] == 0):
             y = _phase_axis_resize(y, 2, size[1], ct)
+        elif _resize_emit_bhcw():
+            # Emit the W contraction with the new w minor-adjacent to c and
+            # transpose back logically: XLA's layout assignment can then hand
+            # the consumer (the adapter's transpconv add-fusion reads x1 with
+            # W in lanes, round-3 trace) the dot output without the standalone
+            # 0.62 ms relayout copy it pays on the bhwc emit. Same contraction,
+            # same f32 accumulate, bit-identical values.
+            y = jnp.einsum("wW,bhWc->bhcw",
+                           jnp.asarray(_resize_matrix(W, size[1]), ct), y)
+            y = jnp.swapaxes(y, 2, 3)
         else:
             y = jnp.einsum("wW,bhWc->bhwc",
                            jnp.asarray(_resize_matrix(W, size[1]), ct), y)

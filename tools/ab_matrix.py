@@ -153,11 +153,24 @@ TRANSPCONV_MATRIX = {
     "phase-2": {"DINOUNET_TPU_TRANSPCONV_IMPL": "phase"},
 }
 
+# W-axis resize einsum emit order (round 3): "bhcw" + logical swapaxes lets
+# XLA hand the adapter's transpconv add-fusion the dot output with W in lanes
+# (the layout it reads x1 in), hoping to elide the 0.62 ms standalone
+# relayout copy the bhwc emit pays (round-3 trace). Bitwise-identical values
+# (models/layers.py::_resize_emit_bhcw). Duplicate rows bound the noise.
+RESIZE_EMIT_MATRIX = {
+    "bhwc":   {"DINOUNET_TPU_RESIZE_EMIT": "bhwc"},
+    "bhcw":   {"DINOUNET_TPU_RESIZE_EMIT": "bhcw"},
+    "bhwc-2": {"DINOUNET_TPU_RESIZE_EMIT": "bhwc"},
+    "bhcw-2": {"DINOUNET_TPU_RESIZE_EMIT": "bhcw"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
             "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX,
             "backbone": BACKBONE_MATRIX, "mlprows": MLPROWS_MATRIX,
             "cmlanes": CMLANES_MATRIX, "resize": RESIZE_MATRIX,
-            "gelu": GELU_CONFIRM_MATRIX, "transpconv": TRANSPCONV_MATRIX}
+            "gelu": GELU_CONFIRM_MATRIX, "transpconv": TRANSPCONV_MATRIX,
+            "resize_emit": RESIZE_EMIT_MATRIX}
 
 
 def main():
