@@ -438,9 +438,11 @@ def _phase_axis_resize(y, axis: int, dst: int, ct):
 
 def _resize_emit_bhcw() -> bool:
     """DINOUNET_TPU_RESIZE_EMIT in {"bhwc", "bhcw"}: output-dim order of the
-    W-axis resize einsum (read per call so A/B probes can toggle in-process).
-    See the inline comment in bilinear_resize; default set by the round-3
-    hardware A/B."""
+    W-axis resize einsum. The env var is read per trace — under jax.jit the
+    branch is baked in at trace time, so toggling in-process only takes
+    effect after clearing jit caches (the A/B harness runs each setting in
+    its own subprocess). See the inline comment in bilinear_resize; default
+    set by the round-3 hardware A/B."""
     return os.environ.get("DINOUNET_TPU_RESIZE_EMIT", "bhwc") == "bhcw"
 
 

@@ -368,6 +368,40 @@ class TestPhaseResize:
             rtol=1e-5, atol=1e-5)
 
 
+class TestResizeEmit:
+    """bhcw vs bhwc emit of the W-axis resize einsum
+    (models/layers.py::_resize_emit_bhcw): same contraction, same f32
+    accumulate — the outputs must be bit-identical (ADVICE r3)."""
+
+    # fractional W ratios so the einsum path is taken regardless of
+    # DINOUNET_TPU_RESIZE_IMPL, plus integer up/down ratios (which also take
+    # the einsum path under the default matmul impl)
+    CASES = [
+        ((2, 8, 8, 5), (8, 12)),    # fractional up (W only)
+        ((2, 8, 12, 5), (8, 8)),    # fractional down
+        ((1, 8, 8, 3), (32, 16)),   # integer up, both axes
+        ((1, 6, 16, 4), (6, 4)),    # integer 4x down
+        ((1, 7, 10, 2), (21, 15)),  # odd mixed ratios
+    ]
+
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+    @pytest.mark.parametrize("shape,size", CASES)
+    def test_bitwise_vs_bhwc(self, shape, size, dtype, monkeypatch):
+        from dinounet_tpu.models import layers
+
+        monkeypatch.setenv("DINOUNET_TPU_RESIZE_IMPL", "matmul")
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=shape), dtype)
+        monkeypatch.setenv("DINOUNET_TPU_RESIZE_EMIT", "bhwc")
+        ref = layers.bilinear_resize(x, size)
+        monkeypatch.setenv("DINOUNET_TPU_RESIZE_EMIT", "bhcw")
+        got = layers.bilinear_resize(x, size)
+        assert got.shape == ref.shape
+        assert got.dtype == ref.dtype == dtype
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+
+
 class TestPhaseTranspConv:
     """Phase-matmul 2x2/s2 transposed conv vs flax nn.ConvTranspose
     (models/layers.py::_phase_transpconv2x2): same param tree, same values."""

@@ -297,3 +297,21 @@ def test_dryrun_multichip_gate():
         sys.path.pop(0)
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_dryrun_7b_block_gate():
+    """Run the driver's real-dims 7B block gate (__graft_entry__.dryrun_7b_block)
+    on the 8 virtual CPU devices (VERDICT r3 item 6: the megatron shard-shape
+    assertions — qkv/proj/w1/w2/w3 column/row splits at embed 4096, 32 heads,
+    swiglu64 hidden 8192 — must run on every suite pass, not only via the
+    script's __main__)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        import __graft_entry__
+    finally:
+        sys.path.pop(0)
+
+    __graft_entry__.dryrun_7b_block(8)
