@@ -40,7 +40,7 @@ BASELINE_PATCHES_PER_SEC = 60.0  # estimated A100 PyTorch reference (see above)
 # through a dying relay that were meaningless as kernel comparisons.
 LAST_KNOWN_GOOD = {
     "dinounet_s": 201.6,
-    "dinounet_b": 159.4,
+    "dinounet_b": 161.6,
     "dinounet_l": 67.8,
     "dinounet_7b": 7.7,
 }
@@ -49,7 +49,8 @@ SUSPECT_FRACTION = 0.3
 KNOBS = ("DINOUNET_TPU_DECODER_TAIL", "DINOUNET_TPU_SPM_CM",
          "DINOUNET_TPU_DENSE_IMPL", "DINOUNET_TPU_MSDA_IMPL",
          "DINOUNET_TPU_MSDA_PREP", "DINOUNET_TPU_ATTN_LAYOUT",
-         "DINOUNET_TPU_MLP_GELU", "DINOUNET_TPU_CONV_CM_INNER")
+         "DINOUNET_TPU_MLP_GELU", "DINOUNET_TPU_CONV_CM_INNER",
+         "DINOUNET_TPU_SEG_IMPL")
 
 
 def log(*a):
@@ -284,6 +285,9 @@ def main():
             "conv_cm_inner": win.get(
                 "DINOUNET_TPU_CONV_CM_INNER",
                 os.environ.get("DINOUNET_TPU_CONV_CM_INNER", "merged")),
+            "seg_impl": win.get(
+                "DINOUNET_TPU_SEG_IMPL",
+                os.environ.get("DINOUNET_TPU_SEG_IMPL", "convbf")),
             "batch": win["batch"],
         }
     if suspect:

@@ -89,6 +89,19 @@ def int8_qkv() -> bool:
     return os.environ.get("DINOUNET_TPU_INT8_QKV", "1") == "1"
 
 
+def adapter_int8() -> bool:
+    """Whether the int8 serving mode extends to the adapter extractors'
+    large matmuls (round 4, VERDICT r3 item 2b): the 6 MSDA output
+    projections (channel-major w8a8 kernel, M*D=384 -> 768 over 5376
+    queries) and the 6 ConvFFN fc2 junctions (GELU-prologue w8a8 kernel,
+    192 -> 768) — the ~3.9 ms extractor pool next in line after the
+    backbone linears. The extractors are NOT frozen in training (unlike the
+    backbone), so this — like every int8 knob — is inference/serving only;
+    the kernels carry exact-fp VJPs but training paths never enable
+    vit_int8. DINOUNET_TPU_INT8_ADAPTER=0 opts out for ablation."""
+    return vit_int8() and os.environ.get("DINOUNET_TPU_INT8_ADAPTER", "1") == "1"
+
+
 def use_fused_attention() -> bool:
     """Fused RoPE+SDPA Pallas kernel for the frozen backbone (TPU only).
 
@@ -225,6 +238,33 @@ def seg_head_reduce() -> bool:
     dot form is already within ~8% of its HBM read floor. See BASELINE.md
     "negative results"."""
     return os.environ.get("DINOUNET_TPU_SEG_REDUCE", "0") == "1"
+
+
+def seg_head_impl() -> str:
+    """DINOUNET_TPU_SEG_IMPL in {"convbf", "conv", "convw", "dot"}:
+    inference-time seg-head formulation.
+
+    The round-4 trace showed the final stage's InstanceNorm-apply +
+    leaky_relu as the only remaining standalone full-map pass (1.63 ms kLoop
+    fusion over the 537 MB stage-2 map): a dot operand cannot absorb
+    elementwise producers, while a convolution operand can (every other
+    stage's apply+leaky is absorbed into the consuming conv/transpconv
+    fusion). Measured A/B (.bench_logs/ab_segimpl*_r4.json, duplicate rows):
+
+    - "dot"   158.11/159.22/158.53 p/s — the standalone pass stays;
+    - "conv"  157.83/158.33 — NHWC 1x1 conv absorbs the producer but the
+      emitter writes f32 logits batch-in-lanes (B=8 -> 128-lane pad,
+      537 MB) plus a 0.77 ms canonicalizing copy: a wash;
+    - "convw" 158.93/157.80 — conv with batch=W keeps the dot's small
+      W-in-lanes output but that emitter does NOT take input fusions, so
+      the standalone pass stays: a wash;
+    - "convbf" 160.39/161.05 (**default**) — the absorbing NHWC conv with a
+      bf16 output: halves the bad write, shrinks the canonicalizing copy.
+      The logits round through bf16 once at inference (|err| ~ 2^-8
+      relative; training and the dot path keep full f32 accumulation).
+
+    The value is captured at trace time (subprocess-per-row A/Bs only)."""
+    return os.environ.get("DINOUNET_TPU_SEG_IMPL", "convbf")
 
 
 def decoder_wide_convs() -> bool:

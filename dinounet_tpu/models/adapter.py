@@ -168,11 +168,18 @@ class MSDeformAttn(nn.Module):
         # stats-threaded fused path (row-major variant for the gather core):
         # output proj + residual + next-LN stats in one pass — returns
         # (residual + proj(out), mean, var); see ops/dense_stats_pallas.py
-        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.configuration import adapter_int8, fused_dense_impl
         from dinounet_tpu.models.vit import _DenseParams
-        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
 
         k_p, b_p = _DenseParams(self.d_model, name="output_proj")(d_value)
+        if adapter_int8():
+            from dinounet_tpu.ops.dense_q8_pallas import dense_q8_residual_stats
+
+            return dense_q8_residual_stats(
+                out, k_p, b_p, residual, jnp.ones((self.d_model,), jnp.float32),
+                prologue="none", interpret=fused_dense_impl() == "interpret")
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
         return dense_residual_stats(
             out, k_p, b_p, residual, jnp.ones((self.d_model,), jnp.float32),
             apply_gelu=False, interpret=fused_dense_impl() == "interpret")
@@ -259,11 +266,20 @@ class MSDeformAttn(nn.Module):
         # output feeds the projection + residual + next-LN stats directly
         # (ops/dense_stats_pallas.py::dense_cm_residual_stats) — the residual
         # token stream is read/written exactly once
-        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.configuration import adapter_int8, fused_dense_impl
         from dinounet_tpu.models.vit import _DenseParams
-        from dinounet_tpu.ops.dense_stats_pallas import dense_cm_residual_stats
 
         k_p, b_p = _DenseParams(self.d_model, name="output_proj")(M * D)
+        if adapter_int8():
+            from dinounet_tpu.ops.dense_q8_pallas import (
+                dense_cm_q8_residual_stats)
+
+            return dense_cm_q8_residual_stats(
+                out_t.reshape(B, M * D, Lq), k_p, b_p, residual,
+                jnp.ones((self.d_model,), jnp.float32),
+                interpret=fused_dense_impl() == "interpret")
+        from dinounet_tpu.ops.dense_stats_pallas import dense_cm_residual_stats
+
         return dense_cm_residual_stats(
             out_t.reshape(B, M * D, Lq), k_p, b_p, residual,
             jnp.ones((self.d_model,), jnp.float32),
@@ -309,11 +325,18 @@ class ConvFFN(nn.Module):
             return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         # stats-threaded fused path: GELU + fc2 + residual + next-LN stats as
         # one pass — returns (residual + fc2(gelu(x)), mean, var)
-        from dinounet_tpu.configuration import fused_dense_impl
+        from dinounet_tpu.configuration import adapter_int8, fused_dense_impl
         from dinounet_tpu.models.vit import _DenseParams
-        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
 
         k_p, b_p = _DenseParams(self.dim, name="fc2")(self.hidden)
+        if adapter_int8():
+            from dinounet_tpu.ops.dense_q8_pallas import dense_q8_residual_stats
+
+            return dense_q8_residual_stats(
+                x, k_p, b_p, residual, jnp.ones((self.dim,), jnp.float32),
+                prologue="gelu", interpret=fused_dense_impl() == "interpret")
+        from dinounet_tpu.ops.dense_stats_pallas import dense_residual_stats
+
         return dense_residual_stats(
             x, k_p, b_p, residual, jnp.ones((self.dim,), jnp.float32),
             apply_gelu=True, interpret=fused_dense_impl() == "interpret")

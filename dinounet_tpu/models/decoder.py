@@ -126,7 +126,7 @@ class SegHead(nn.Module):
         if C != x.shape[-1]:  # wide-mode input: padded channels are zeros
             w = jnp.pad(w, ((0, x.shape[-1] - C), (0, 0)))
         if x.dtype == jnp.bfloat16:
-            from dinounet_tpu.configuration import seg_head_reduce
+            from dinounet_tpu.configuration import seg_head_impl, seg_head_reduce
 
             if prefer_reduce and self.num_classes <= 8 and seg_head_reduce():
                 # broadcast-multiply + reduce instead of dot_general: a dot
@@ -136,6 +136,52 @@ class SegHead(nn.Module):
                 y = jnp.sum(
                     x.astype(jnp.float32)[..., None]
                     * w[(None,) * (x.ndim - 1)], axis=-2)
+            elif (prefer_reduce and seg_head_impl() in ("conv", "convw",
+                                                        "convbf")
+                  and x.ndim == self.rank + 2):
+                # real 1x1 convolution instead of dot_general: a convolution
+                # operand CAN absorb elementwise producers, so XLA fuses the
+                # stage's InstanceNorm-apply + leaky into this op's input
+                # and the standalone full-map activation pass disappears
+                # (see configuration.seg_head_impl). A 1x1 conv is pointwise,
+                # so the dimension labels are arbitrary: "convw" declares the
+                # minor spatial dim (W) as the conv's batch — the TPU emitter
+                # puts the conv batch in output lanes, so this yields the
+                # same small W-in-lanes logits layout the dot form gets
+                # (f32 {2,3,1,0:T(4,128)}, 33 MB) instead of the 537 MB
+                # batch-in-lanes (B=8 -> 128 pad) write "conv" produced in
+                # the round-4 trace.
+                kernel4 = w.astype(jnp.bfloat16).reshape(
+                    (1,) * self.rank + w.shape)
+                if seg_head_impl() == "convw":
+                    n = x.ndim
+                    dn = jax.lax.ConvDimensionNumbers(
+                        # batch = the minor spatial dim, feature = channels,
+                        # everything else a size-preserved spatial dim
+                        lhs_spec=(n - 2, n - 1) + tuple(range(n - 2)),
+                        rhs_spec=(n - 1, n - 2) + tuple(range(n - 2)),
+                        out_spec=(n - 2, n - 1) + tuple(range(n - 2)),
+                    )
+                    y = jax.lax.conv_general_dilated(
+                        x, kernel4, window_strides=(1,) * (x.ndim - 2),
+                        padding="VALID", dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                else:
+                    # "convbf" keeps the absorbing NHWC form but writes bf16:
+                    # the absorbed variant's cost in the round-4 trace was
+                    # its 537 MB f32 batch-in-lanes output — bf16 halves it,
+                    # and the canonicalizing copy upcasts to the f32 logits
+                    # contract
+                    out_t = (jnp.bfloat16 if seg_head_impl() == "convbf"
+                             else jnp.float32)
+                    spatial = "DHW"[-self.rank:]
+                    y = jax.lax.conv_general_dilated(
+                        x, kernel4, window_strides=(1,) * self.rank,
+                        padding="VALID",
+                        dimension_numbers=(f"N{spatial}C", f"{spatial}IO",
+                                           f"N{spatial}C"),
+                        preferred_element_type=out_t,
+                    ).astype(jnp.float32)
             else:
                 y = jax.lax.dot_general(
                     x, w.astype(jnp.bfloat16),

@@ -446,6 +446,7 @@ class TestSegReduceFormulation:
                  _rand(rng, (2, 16, 16, 32))]
 
         monkeypatch.setenv("DINOUNET_TPU_SEG_REDUCE", "0")
+        monkeypatch.setenv("DINOUNET_TPU_SEG_IMPL", "dot")
         v = dec.init(jax.random.PRNGKey(0), skips)
         ref = dec.apply(v, skips)
         ref_train = dec.apply(v, skips, train=True)
@@ -464,3 +465,72 @@ class TestSegReduceFormulation:
         got_train = dec.apply(v, skips, train=True)
         for r, g in zip(ref_train, got_train):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+class TestSegConvFormulation:
+    """DINOUNET_TPU_SEG_IMPL=conv: the seg head as a real 1x1
+    conv_general_dilated so XLA's convolution input fusion absorbs the
+    stage's InstanceNorm-apply + leaky producer (the 1.63 ms standalone
+    kLoop pass in the round-4 trace existed ONLY before the seg dot).
+    Same weights, same contraction — parity vs the dot form pinned here."""
+
+    def _decoder(self):
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        return UNetDecoder(
+            encoder_channels=[8, 16, 32],
+            encoder_strides=[(2, 2), (2, 2), (2, 2)],
+            encoder_kernel_sizes=[(3, 3), (3, 3), (3, 3)],
+            num_classes=3, n_conv_per_stage=[2, 2], deep_supervision=True)
+
+    @pytest.mark.parametrize("impl", ["conv", "convw", "convbf"])
+    def test_conv_matches_dot(self, rng, monkeypatch, impl):
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        dec = self._decoder()
+        skips = [_rand(rng, (2, 64, 64, 8)), _rand(rng, (2, 32, 32, 16)),
+                 _rand(rng, (2, 16, 16, 32))]
+
+        monkeypatch.setenv("DINOUNET_TPU_SEG_IMPL", "dot")
+        v = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v, skips)
+        ref_train = dec.apply(v, skips, train=True)
+
+        monkeypatch.setenv("DINOUNET_TPU_SEG_IMPL", impl)
+        assert {str(k) for k in dec.init(jax.random.PRNGKey(0), skips)} \
+            == {str(k) for k in v}
+        got = dec.apply(v, skips)
+        for r, g in zip(ref, got):
+            assert g.dtype == r.dtype == jnp.float32
+            # both contract bf16 operands with f32 accumulation; conv may
+            # order the K-sum differently -> allow accumulation-order noise
+            # (convbf additionally rounds the logits through bf16 once)
+            tol = 0.02 if impl == "convbf" else 1e-4
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=tol, rtol=tol)
+        # training always keeps the dot form (bit-identical)
+        got_train = dec.apply(v, skips, train=True)
+        for r, g in zip(ref_train, got_train):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+    def test_conv_matches_dot_3d(self, rng, monkeypatch):
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_TAIL", "jax")
+        dec = UNetDecoder(
+            encoder_channels=[8, 16],
+            encoder_strides=[(2, 2, 2), (2, 2, 2)],
+            encoder_kernel_sizes=[(3, 3, 3), (3, 3, 3)],
+            num_classes=4, n_conv_per_stage=[2], deep_supervision=False)
+        skips = [_rand(rng, (1, 16, 16, 16, 8)), _rand(rng, (1, 8, 8, 8, 16))]
+
+        monkeypatch.setenv("DINOUNET_TPU_SEG_IMPL", "dot")
+        v = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v, skips)
+        monkeypatch.setenv("DINOUNET_TPU_SEG_IMPL", "conv")
+        got = dec.apply(v, skips)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        monkeypatch.setenv("DINOUNET_TPU_SEG_IMPL", "convw")
+        got = dec.apply(v, skips)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)

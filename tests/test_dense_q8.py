@@ -284,3 +284,92 @@ class TestModelPath:
         monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
         assert configuration.fused_dense_impl() == "pallas"
         assert configuration.use_fused_dense()
+
+
+class TestAdapterInt8:
+    """Round 4 (VERDICT r3 item 2b): the int8 serving mode extends to the
+    adapter extractors' fused junctions — MSDA output projection and ConvFFN
+    GELU-fc2 swap to the w8a8 kernels when DINOUNET_TPU_VIT_INT8=1 (opt-out
+    DINOUNET_TPU_INT8_ADAPTER=0). Parity vs the bf16 fused path, identical
+    param trees."""
+
+    def _msda_args(self, rng):
+        from dinounet_tpu.models.adapter import reference_points_for_grids
+
+        B, Lq, C = 1, 80, 64  # queries = 8x8 + 4x4 pyramid = 80
+        q = _rand(rng, (B, Lq, C))
+        res = _rand(rng, (B, Lq, C))
+        vals = _rand(rng, (B, 36, C))  # 6x6 value grid
+        # already (1, Lq, 1, 2)
+        ref_pts = jnp.asarray(reference_points_for_grids([(8, 8), (4, 4)]))
+        return q, ref_pts, vals, [(6, 6)], res
+
+    def test_msda_outproj_int8_close_to_bf16(self, rng, monkeypatch):
+        from dinounet_tpu.models.adapter import MSDeformAttn
+
+        monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "jax")
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        q, ref_pts, vals, shapes, res = self._msda_args(rng)
+        attn = MSDeformAttn(d_model=64, n_heads=4, n_points=2)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "0")
+        v = attn.init(jax.random.PRNGKey(0), q, ref_pts, vals, shapes,
+                      residual=res)
+        out_fp, mu_fp, var_fp = attn.apply(v, q, ref_pts, vals, shapes,
+                                           residual=res)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        v8 = attn.init(jax.random.PRNGKey(0), q, ref_pts, vals, shapes,
+                       residual=res)
+        import jax.tree_util as jtu
+        assert ({jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v)}
+                == {jtu.keystr(k): a.shape
+                    for k, a in jtu.tree_leaves_with_path(v8)})
+        out_q8, mu_q8, var_q8 = attn.apply(v, q, ref_pts, vals, shapes,
+                                           residual=res)
+        # int8 deviation budget: per-layer w8a8 rel-L2 is ~0.5%
+        # (tools/int8_accuracy_experiment.py); the residual stream dominates
+        # the output so the junction's absolute deviation stays small
+        np.testing.assert_allclose(np.asarray(out_q8, np.float32),
+                                   np.asarray(out_fp, np.float32),
+                                   atol=0.05, rtol=0.05)
+        np.testing.assert_allclose(np.asarray(mu_q8), np.asarray(mu_fp),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(var_q8), np.asarray(var_fp),
+                                   atol=1e-2)
+
+        # opt-out knob restores the bf16 kernels exactly
+        monkeypatch.setenv("DINOUNET_TPU_INT8_ADAPTER", "0")
+        out_opt, _, _ = attn.apply(v, q, ref_pts, vals, shapes, residual=res)
+        np.testing.assert_array_equal(np.asarray(out_opt, np.float32),
+                                      np.asarray(out_fp, np.float32))
+
+    def test_convffn_fc2_int8_close_to_bf16(self, rng, monkeypatch):
+        from dinounet_tpu.models.adapter import ConvFFN
+
+        monkeypatch.setenv("DINOUNET_TPU_DENSE_IMPL", "interpret")
+        B, C = 1, 64
+        H, W = 8, 8  # the 1/16 grid; tokens live on 2Hx2W + HxW + H/2xW/2
+        n = 21 * (H * W // 4)  # 336: DWConvMS's 21n token layout
+        x = _rand(rng, (B, n, C))
+        res = _rand(rng, (B, n, C))
+        ffn = ConvFFN(dim=C, hidden=2 * C)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "0")
+        v = ffn.init(jax.random.PRNGKey(0), x, H, W, residual=res)
+        out_fp, mu_fp, var_fp = ffn.apply(v, x, H, W, residual=res)
+
+        monkeypatch.setenv("DINOUNET_TPU_VIT_INT8", "1")
+        v8 = ffn.init(jax.random.PRNGKey(0), x, H, W, residual=res)
+        import jax.tree_util as jtu
+        assert ({jtu.keystr(k): a.shape for k, a in jtu.tree_leaves_with_path(v)}
+                == {jtu.keystr(k): a.shape
+                    for k, a in jtu.tree_leaves_with_path(v8)})
+        out_q8, mu_q8, var_q8 = ffn.apply(v, x, H, W, residual=res)
+        np.testing.assert_allclose(np.asarray(out_q8, np.float32),
+                                   np.asarray(out_fp, np.float32),
+                                   atol=0.05, rtol=0.05)
+        np.testing.assert_allclose(np.asarray(mu_q8), np.asarray(mu_fp),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(var_q8), np.asarray(var_fp),
+                                   atol=1e-2)

@@ -165,7 +165,22 @@ RESIZE_EMIT_MATRIX = {
     "bhcw-2": {"DINOUNET_TPU_RESIZE_EMIT": "bhcw"},
 }
 
+# seg-head conv formulation (round 4): a real 1x1 conv_general_dilated lets
+# XLA's convolution input fusion absorb the final stage's InstanceNorm-apply
+# + leaky producer (standalone 1.63 ms kLoop pass in the round-4 trace; the
+# dot operand cannot absorb it). Duplicate rows bound the noise.
+SEGIMPL_MATRIX = {
+    "dot":     {"DINOUNET_TPU_SEG_IMPL": "dot"},
+    "conv":    {"DINOUNET_TPU_SEG_IMPL": "conv"},
+    "convw":   {"DINOUNET_TPU_SEG_IMPL": "convw"},
+    "dot-2":   {"DINOUNET_TPU_SEG_IMPL": "dot"},
+    "convw-2": {"DINOUNET_TPU_SEG_IMPL": "convw"},
+    "convbf":  {"DINOUNET_TPU_SEG_IMPL": "convbf"},
+    "convbf-2": {"DINOUNET_TPU_SEG_IMPL": "convbf"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
+            "segimpl": SEGIMPL_MATRIX,
             "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX,
             "backbone": BACKBONE_MATRIX, "mlprows": MLPROWS_MATRIX,
             "cmlanes": CMLANES_MATRIX, "resize": RESIZE_MATRIX,

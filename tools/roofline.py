@@ -53,7 +53,7 @@ def padded_map_bytes(h, w, c, dtype_bytes=2, batch=B):
     return h * w * sub * lanes * dtype_bytes
 
 
-def backbone():
+def backbone(int8=False):
     n = B * TOKENS
     qkv = 2 * n * EMBED * 3 * EMBED
     attn = 2 * 2 * B * HEADS * TOKENS * TOKENS * (EMBED // HEADS)
@@ -65,6 +65,15 @@ def backbone():
     # qkv/fc1 ~0.9, attention kernel ~0.5 (K=64 halves the MXU ceiling),
     # proj/fc2 carry residual+LN epilogues ~0.45
     achievable = (qkv / 0.9 + attn / 0.5 + proj / 0.45 + mlp / 0.75) * DEPTH
+    if int8:
+        # the linears ride the 394 TFLOP/s int8 MXU; the measured in-kernel
+        # dynamic-quant tax caps the speedup at ~1.47x (BASELINE.md round-3
+        # isolated probe: int8 dot 1.72x bf16, 1.47x with in-VMEM quant).
+        # The attention kernel stays bf16 (scores/softmax).
+        lin = (qkv / 0.9 + proj / 0.45 + mlp / 0.75) * DEPTH / 1.47
+        achievable = lin + (attn / 0.5) * DEPTH
+        floor = ((qkv + proj + mlp) * DEPTH) / 2 + attn * DEPTH
+        return floor / PEAK_BF16, achievable / PEAK_BF16
     return total / PEAK_BF16, achievable / PEAK_BF16
 
 
@@ -77,7 +86,7 @@ def msda():
     return N_EXTRACTORS * per_call
 
 
-def extractor_rest():
+def extractor_rest(int8=False):
     # per extractor: value projection (over the 1029 ViT value tokens),
     # sampling offsets + attention weights + output projection (over the
     # 5376 queries), query norm, and the cffn (ratio 0.25) with dwconv
@@ -87,6 +96,8 @@ def extractor_rest():
     offs = 2 * n * EMBED * MSDA_HEADS * MSDA_POINTS * 3
     cffn = 2 * 2 * n * EMBED * int(EMBED * 0.25)
     flops = (value_proj + out_proj + offs + cffn) * N_EXTRACTORS
+    if int8:
+        flops /= 1.47  # in-kernel dynamic-quant speedup, measured (r3 probe)
     # each pass reads+writes the (B, 5376, 768) query tensor; ~4 full passes
     # per extractor (norms, kernel IO outside the custom call, cffn residual)
     traffic = N_EXTRACTORS * 4 * 2 * B * QUERIES * EMBED * 2
@@ -147,12 +158,18 @@ def fapm_encoder():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.parse_args()
-    bb_peak, bb_achv = backbone()
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 serving-mode roofline: backbone + extractor "
+                         "linears on the 394 TFLOP/s int8 MXU (achievable "
+                         "capped at the measured 1.47x in-kernel dynamic-"
+                         "quant rate); MSDA/attention/decoder stay bf16")
+    args = ap.parse_args()
+    bb_peak, bb_achv = backbone(int8=args.int8)
+    ex = extractor_rest(int8=args.int8)
     rows = [
         ("backbone ViT-B (12 blocks, 1029 tok)", bb_achv, bb_peak),
         ("MSDA kernels (6x, VPU design limit)", msda(), msda()),
-        ("extractor proj/cffn/softmax", extractor_rest(), extractor_rest()),
+        ("extractor proj/cffn/softmax", ex, ex),
         ("SPM stem", spm(), spm()),
         ("adapter 4x up-transpconv", adapter_up(), adapter_up()),
         ("feature resize einsums", resize_einsums(), resize_einsums()),
