@@ -267,6 +267,22 @@ def seg_head_impl() -> str:
     return os.environ.get("DINOUNET_TPU_SEG_IMPL", "convbf")
 
 
+def decoder_hwbc() -> str:
+    """DINOUNET_TPU_DECODER_HWBC in {"jax", "auto", "interpret"}: run the
+    eligible high-resolution decoder stages' 3x3 convs through the
+    native-layout Pallas kernels (ops/conv_hwbc_pallas.py) at inference.
+
+    XLA's sub-128-channel conv emitter packs batch into the matmul M
+    dimension (M=8 -> <=12.5% MXU), pinning stage2's convs at 3.26/2.04 ms
+    vs 1.97/1.31 ms layout-byte floors (round-4 trace + tools/hbm_floors.py).
+    The kernel keeps XLA's own physical layout (H, W, B, C-lanes) so —
+    unlike the round-3 channel-major chain — the stage boundaries are
+    layout bitcasts, not relayouts. "auto" engages on TPU; "interpret" runs
+    the kernel in interpreter mode (tests); default set by hardware A/B.
+    Inference-only: training keeps the flax graph."""
+    return os.environ.get("DINOUNET_TPU_DECODER_HWBC", "jax")
+
+
 def decoder_wide_convs() -> bool:
     """Inference-only "wide" decoder stages: XLA assigns the decoder's
     high-resolution bf16 feature maps channel-minor layouts where the

@@ -230,14 +230,18 @@ class UNetDecoder(nn.Module):
                 skip_ch, stride, use_bias=self.conv_bias, dtype=self.dtype,
                 name=f"transpconv{s - 1}",
             )(lres, logical_in=lres_logical)
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = StackedConvBlocks(
-                n_convs=self.n_conv_per_stage[s - 1], features=skip_ch,
-                kernel_size=tuple(self.encoder_kernel_sizes[-(s + 1)]),
-                norm=self.norm, norm_kwargs=self.norm_kwargs,
-                nonlin=self.nonlin, nonlin_kwargs=self.nonlin_kwargs,
-                conv_bias=self.conv_bias, dtype=self.dtype, name=f"stage{s - 1}",
-            )(x, train=train, wide=wide)
+            if self._use_hwbc(s, x, skip, train):
+                x = self._hwbc_stage(s, x, skip)
+            else:
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = StackedConvBlocks(
+                    n_convs=self.n_conv_per_stage[s - 1], features=skip_ch,
+                    kernel_size=tuple(self.encoder_kernel_sizes[-(s + 1)]),
+                    norm=self.norm, norm_kwargs=self.norm_kwargs,
+                    nonlin=self.nonlin, nonlin_kwargs=self.nonlin_kwargs,
+                    conv_bias=self.conv_bias, dtype=self.dtype,
+                    name=f"stage{s - 1}",
+                )(x, train=train, wide=wide)
             # seg heads are always constructed (checkpoint compat, ref :594-597);
             # fp32 logits for a stable loss. In bf16 mode the input feature map
             # streams in bf16 with f32 accumulation — pre-casting the full-res
@@ -255,6 +259,70 @@ class UNetDecoder(nn.Module):
         if self.deep_supervision:
             return seg_outputs
         return seg_outputs[0]
+
+    def _use_hwbc(self, s, x_t, skip, train) -> bool:
+        """Native-layout Pallas stage convs (ops/conv_hwbc_pallas.py,
+        configuration.decoder_hwbc): inference-only, sub-128-channel 2-D
+        instancenorm+leaky stages with supported shapes — the class XLA's
+        batch-in-sublanes emitter runs at <=12.5% MXU."""
+        if train or self.norm != "instancenorm" or self.nonlin != "leaky_relu":
+            return False
+        if self.n_conv_per_stage[s - 1] != 2:
+            return False
+        if tuple(self.encoder_kernel_sizes[-(s + 1)]) != (3, 3):
+            return False
+        if x_t.ndim != 4 or x_t.dtype != jnp.bfloat16 or x_t.shape != skip.shape:
+            return False
+        if self.encoder_channels[-(s + 1)] >= 128:
+            return False  # full-lane stages: XLA's emitter is fine there
+        from dinounet_tpu.configuration import decoder_hwbc
+        from dinounet_tpu.ops.conv_hwbc_pallas import hwbc_supported
+
+        mode = decoder_hwbc()
+        if mode == "jax":
+            return False
+        if mode == "auto" and jax.default_backend() != "tpu":
+            return False
+        return hwbc_supported(tuple(x_t.shape))
+
+    def _hwbc_stage(self, s, x_t, skip):
+        """conv0(concat) + IN + leaky + conv1 + IN + leaky through the
+        native-layout kernels. Declares the exact StackedConvBlocks param
+        tree (stage{s-1}/conv{i}/{conv,norm/norm}) so checkpoints are
+        shared; the transposes into/out of the (H, W, B, C) views are
+        layout bitcasts of the NHWC {3,0,2,1} buffers (round-4 trace)."""
+        from dinounet_tpu.configuration import decoder_hwbc
+        from dinounet_tpu.ops.conv_hwbc_pallas import (
+            conv3x3_hwbc, instance_norm_prologue_params)
+
+        interp = decoder_hwbc() == "interpret"
+        skip_ch = self.encoder_channels[-(s + 1)]
+        ks = tuple(self.encoder_kernel_sizes[-(s + 1)])
+        p0, p1 = _StageParams(skip_ch, ks, self.conv_bias,
+                              name=f"stage{s - 1}")(2 * skip_ch)
+        k0, b0, g0, be0 = p0
+        k1, b1, g1, be1 = p1
+        nk = self.norm_kwargs or {}
+        nlk = self.nonlin_kwargs or {}
+        eps = nk.get("eps", 1e-5)
+        slope = nlk.get("negative_slope", 0.01)
+
+        B, H, W, _ = x_t.shape
+        n = H * W
+        xv = jnp.transpose(x_t, (1, 2, 0, 3))   # layout bitcast
+        sv = jnp.transpose(skip, (1, 2, 0, 3))
+        # ref concat order is [transpconv_out, skip] (dinounet_training.py
+        # :601-612): conv0's kernel rows are consumed in that order
+        y0, s0, q0 = conv3x3_hwbc(xv, k0, b0, x2=sv, interpret=interp)
+        sc0, sh0 = instance_norm_prologue_params(s0, q0, n, g0, be0, eps)
+        y1, s1, q1 = conv3x3_hwbc(y0, k1, b1, prologue=(sc0, sh0),
+                                  leaky_slope=slope, interpret=interp)
+        sc1, sh1 = instance_norm_prologue_params(s1, q1, n, g1, be1, eps)
+        # final apply+leaky stays XLA-side: its consumer (seg head conv /
+        # next transpconv) absorbs the elementwise producer for free
+        yf = y1.astype(jnp.float32) * sc1[None, None] + sh1[None, None]
+        yl = jnp.where(yf >= 0, yf, yf * slope).astype(x_t.dtype)
+        return jnp.transpose(yl, (2, 0, 1, 3))  # layout bitcast back
 
     def _use_fused_chain(self, s, n_stages, skips, train) -> bool:
         """The fused channel-major chain (ops/decoder_tail_pallas.py)

@@ -48,6 +48,11 @@ INT8_MATRIX = {
                       "DINOUNET_TPU_INT8_QKV": "0"},
     "int8-unfused":  {"DINOUNET_TPU_VIT_INT8": "1",
                       "DINOUNET_TPU_DENSE_IMPL": "jax"},
+    # round 4: int8-fused now includes the adapter extractor junctions
+    # (configuration.adapter_int8); this row ablates them back to bf16
+    "int8-noadapter": {"DINOUNET_TPU_VIT_INT8": "1",
+                       "DINOUNET_TPU_INT8_ADAPTER": "0"},
+    "int8-fused-2":  {"DINOUNET_TPU_VIT_INT8": "1"},
 }
 
 # wide decoder stages (round 3): zero-padded full-lane convs vs status quo
@@ -179,8 +184,18 @@ SEGIMPL_MATRIX = {
     "convbf-2": {"DINOUNET_TPU_SEG_IMPL": "convbf"},
 }
 
+# native-layout (HWBC) decoder stage convs (round 4): the Pallas kernels in
+# XLA's own {3,0,2,1} physical layout — M=Rh*W*B matmuls vs the emitter's
+# M=8, zero boundary relayouts (layout bitcasts). Duplicates bound the noise.
+HWBC_MATRIX = {
+    "jax":    {"DINOUNET_TPU_DECODER_HWBC": "jax"},
+    "hwbc":   {"DINOUNET_TPU_DECODER_HWBC": "auto"},
+    "jax-2":  {"DINOUNET_TPU_DECODER_HWBC": "jax"},
+    "hwbc-2": {"DINOUNET_TPU_DECODER_HWBC": "auto"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
-            "segimpl": SEGIMPL_MATRIX,
+            "segimpl": SEGIMPL_MATRIX, "hwbc": HWBC_MATRIX,
             "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX,
             "backbone": BACKBONE_MATRIX, "mlprows": MLPROWS_MATRIX,
             "cmlanes": CMLANES_MATRIX, "resize": RESIZE_MATRIX,

@@ -32,6 +32,7 @@ os.environ.setdefault("DINOUNET_TPU_DENSE_IMPL", "pallas")
 os.environ.setdefault("DINOUNET_TPU_DECODER_TAIL", "pallas")
 os.environ.setdefault("DINOUNET_TPU_SPM_CM", "pallas")
 os.environ.setdefault("DINOUNET_TPU_MSDA_PREP", "fused")
+os.environ.setdefault("DINOUNET_TPU_DECODER_HWBC", "auto")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -102,6 +103,23 @@ def gate_kernels():
     lres = _rand(next(ks), (B, Cin, H // 2, W // 2))
     skip = _rand(next(ks), (B, Cin - Cout, H, W))
     gate("decoder_chain_cm[1stage]", chain, lres, skip)
+
+    # --- native-layout (HWBC) decoder convs (round 4) ---
+    from dinounet_tpu.ops import conv_hwbc_pallas as ch
+
+    Bh = 8
+    xh = _rand(next(ks), (H, W, Bh, Cout))   # (H, W, B, Ci)
+    wh2 = _rand(next(ks), (3, 3, 2 * Cout, Cout), jnp.float32)
+    sh_ = jnp.abs(_rand(next(ks), (Bh, 2 * Cout), jnp.float32)) + 0.5
+    th_ = _rand(next(ks), (Bh, 2 * Cout), jnp.float32)
+    gate("conv3x3_hwbc[2in,raw]",
+         lambda a, a2: ch.conv3x3_hwbc(a, wh2, b3, x2=a2), xh, xh)
+    wh1 = _rand(next(ks), (3, 3, Cout, Cout), jnp.float32)
+    sh1 = jnp.abs(_rand(next(ks), (Bh, Cout), jnp.float32)) + 0.5
+    th1 = _rand(next(ks), (Bh, Cout), jnp.float32)
+    gate("conv3x3_hwbc[prologue]",
+         lambda a: ch.conv3x3_hwbc(a, wh1, b3, prologue=(sh1, th1)), xh)
+    del sh_, th_
 
     # --- dense+stats family (backbone/adapter junction shapes) ---
     N, D, F = 1024, 768, 3072
