@@ -273,17 +273,38 @@ class Attention(nn.Module):
             interp = fused_dense_impl() == "interpret"
             k_q, b_q = _DenseParams(3 * C, cfg.qkv_bias, name="qkv")(C)
             sin, cos = rope if rope is not None else (None, None)
-            if attn_premapped_layout() == "dmaj" and not vit_int8():
+            if attn_premapped_layout() == "dmaj":
                 # Dh-major layout: tokens in lanes — full 128-lane tiles on
                 # the qkv write and the kernel's q/k/v reads (the ndh layout
-                # below wastes half of every tile on the Dh=64 minor dim)
-                qkv_t = jnp.einsum("bnc,cpmd->bpmdn", x,
-                                   k_q.reshape(C, 3, M, Dh).astype(cdt))
-                if cfg.qkv_bias:
-                    qkv_t = qkv_t + b_q.reshape(3, M, Dh, 1).astype(cdt)
+                # below wastes half of every tile on the Dh=64 minor dim).
+                # The int8 serving mode composes with it (round 4): the qkv
+                # int8 einsum emits the same dmaj layout and the projection
+                # runs the channel-major w8a8 kernel — without this the int8
+                # mode forfeited the dmaj win and measured a net loss at
+                # HEAD defaults (153.7 vs 160.9 p/s, ab_int8_r4.json).
+                from dinounet_tpu.configuration import int8_qkv
+
+                if vit_int8() and int8_qkv():
+                    from dinounet_tpu.ops.dense_q8_pallas import (
+                        qkv_q8_premapped_dmaj)
+
+                    qkv_t = qkv_q8_premapped_dmaj(
+                        x, k_q, b_q if cfg.qkv_bias else None, M, Dh)
+                else:
+                    qkv_t = jnp.einsum("bnc,cpmd->bpmdn", x,
+                                       k_q.reshape(C, 3, M, Dh).astype(cdt))
+                    if cfg.qkv_bias:
+                        qkv_t = qkv_t + b_q.reshape(3, M, Dh, 1).astype(cdt)
                 o_t = fused_rope_attention_premapped_dmaj(
                     qkv_t, sin, cos, interpret=interp)
                 k_p, b_p = _DenseParams(C, cfg.proj_bias, name="proj")(C)
+                if vit_int8():
+                    from dinounet_tpu.ops.dense_q8_pallas import (
+                        dense_cm_q8_residual_stats)
+
+                    return dense_cm_q8_residual_stats(
+                        o_t.reshape(B, C, N), k_p, b_p, residual, ls_gamma,
+                        interpret=interp)
                 from dinounet_tpu.ops.dense_stats_pallas import (
                     dense_cm_residual_stats)
 

@@ -197,6 +197,25 @@ class TestQkvPremapped:
             M, Dh))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_dmaj_is_ndh_transposed(self, rng):
+        """qkv_q8_premapped_dmaj must be exactly the (B, 3, M, N, Dh) int8
+        premapped output with its last two axes swapped (same quantization,
+        same rescale — only the emitted layout differs), with and without
+        bias. Round 4: this is what lets the int8 serving mode keep the
+        dmaj attention layout default."""
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            qkv_q8_premapped, qkv_q8_premapped_dmaj)
+
+        B, N, C, M = 2, 21, 64, 4
+        Dh = C // M
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((C, 3 * C)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((3 * C,)), jnp.float32)
+        for bias in (b, None):
+            ndh = np.asarray(qkv_q8_premapped(x, k, bias, M, Dh))
+            dmaj = np.asarray(qkv_q8_premapped_dmaj(x, k, bias, M, Dh))
+            np.testing.assert_array_equal(dmaj, ndh.transpose(0, 1, 2, 4, 3))
+
 
 class TestModelPath:
     def _setup(self, rng):

@@ -130,14 +130,21 @@ def part_b(workdir: str):
 
     from dinounet_tpu.api import evaluate
 
+    # result folder name encodes Trainer__Plans__configuration
+    trainer_name, plans_id, config = os.path.basename(result_folder).split("__")
+    fold = int(os.path.basename(fold_dir).split("_")[1])
+
     def run(int8: bool):
         os.environ["DINOUNET_TPU_VIT_INT8"] = "1" if int8 else "0"
-        # fresh validation predictions under a suffixed folder
-        from dinounet_tpu.training.trainer import nnUNetTrainer
+        from dinounet_tpu.run import run_training
 
-        trainer = nnUNetTrainer.restore_for_validation(fold_dir)
-        trainer.perform_actual_validation()
-        res = evaluate(606, result_folder)
+        # validation-only restore: initialize + load the final checkpoint +
+        # sliding-window validation (the same path as `--val` on the CLI)
+        run_training(606, config, fold, trainer_class_name=trainer_name,
+                     plans_identifier=plans_id, only_run_validation=True)
+        # evaluate expects the FOLD dir (pred = <result_folder>/validation,
+        # ref api.py:634-636)
+        res = evaluate(606, fold_dir)
         return (res.get("foreground_mean") or {}).get("Dice")
 
     dice_fp = run(False)
