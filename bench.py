@@ -39,10 +39,10 @@ BASELINE_PATCHES_PER_SEC = 60.0  # estimated A100 PyTorch reference (see above)
 # runtime), not a kernel property — round 2 recorded 10 p/s "measurements"
 # through a dying relay that were meaningless as kernel comparisons.
 LAST_KNOWN_GOOD = {
-    "dinounet_s": 201.6,
-    "dinounet_b": 161.6,
-    "dinounet_l": 67.8,
-    "dinounet_7b": 7.7,
+    "dinounet_s": 222.9,   # round 4 (was 201.6 round 2)
+    "dinounet_b": 161.6,   # round 4
+    "dinounet_l": 71.5,    # round 4 (was 67.8 round 2)
+    "dinounet_7b": 7.7,    # round 2 (round-4 re-measure pending seg-impl fix)
 }
 SUSPECT_FRACTION = 0.3
 
