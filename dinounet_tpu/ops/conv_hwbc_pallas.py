@@ -151,16 +151,21 @@ def _conv_kernel(slope, n_stripes, two_inputs, co, x_ref, x2_or_xp_ref, *rest):
     # dx combine: out[m] = accL[m-B] + accM[m] + accR[m+B], with the w-edge
     # rows of the shifted terms zeroed (conv zero padding along W). B == the
     # f32 sublane tile (8), so the shifts are tile-aligned row concats.
-    accL = acc[:, :Co]
-    accM = acc[:, Co:2 * Co]
-    accR = acc[:, 2 * Co:3 * Co]
+    # ORDER MATTERS for Mosaic: shift the FULL (M, 3*Co) accumulator first
+    # and lane-slice the shifted copies — sublane shift-concats of a
+    # lane-OFFSET slice (acc[:, :Co] etc.) crash the Mosaic compiler
+    # (round-4 repro /tmp/hwbc_debug.py: slices_shifts FAILs, slices_only
+    # and shifts_only PASS), while slices of freshly materialized concat
+    # outputs lower fine.
     # mask rows by w index: m = ((rh*W) + w_pos)*B + b
     wpos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) // B % W
     not_first = (wpos != 0).astype(jnp.float32)
     not_last = (wpos != W - 1).astype(jnp.float32)
-    out = (accM
-           + not_first * _shift_down(accL, B)
-           + not_last * _shift_up(accR, B)
+    accD = _shift_down(acc, B)
+    accU = _shift_up(acc, B)
+    out = (acc[:, Co:2 * Co]
+           + not_first * accD[:, :Co]
+           + not_last * accU[:, 2 * Co:3 * Co]
            + b_ref[...].astype(jnp.float32))
     o_ref[...] = out.reshape(Rh, W, B, Co).astype(cdt)
 
