@@ -174,22 +174,38 @@ def _conv_kernel(slope, n_stripes, two_inputs, co, x_ref, x2_or_xp_ref, *rest):
     ssq_ref[0] = jnp.sum(of * of, axis=0)
 
 
-def _pick_rh(h: int, cap: int = 8) -> Optional[int]:
+_VREG_BUDGET = 1024  # (Rh*W*B/8) * ceil(3*Co/128) cap — the largest
+                     # accumulator footprint proven to compile (round-4
+                     # probes: 1024x1, 512x2, 256x3 tile-units pass; the
+                     # in-model Rh=8/Ci=128 choice at 1024x3 crashes)
+_W_MAX = 384       # W=512 blocks deterministically crash the Mosaic
+                   # compiler at ANY Rh/Ci/Co (round-4 probe /tmp/hwbc_w.py:
+                   # w384 passes, w512 fails at c32/c64/c128) — the 512^2
+                   # stage needs in-kernel W-chunking; until then it stays
+                   # on XLA and hwbc_supported rejects it
+
+
+def _pick_rh(h: int, w: int = 128, b: int = 8, co: int = 32,
+             cap: int = 8) -> Optional[int]:
+    """Largest row-stripe dividing h whose (M, 3*Co) accumulator stays
+    within the compile-proven vector budget (bigger in-kernel values crash
+    the compiler — see _VREG_BUDGET)."""
+    tiles = (3 * co + 127) // 128
     for r in range(min(cap, h), 0, -1):
-        if h % r == 0:
+        if h % r == 0 and (r * w * b // 8) * tiles <= _VREG_BUDGET:
             return r
     return None
 
 
 def hwbc_supported(shape: Tuple[int, ...]) -> bool:
-    """(B, H, W, C) eligibility: 2-D maps, W a lane-tile multiple, a valid
-    row stripe, B a sublane multiple (the dx combine shifts rows by B and
-    needs tile-aligned concats)."""
+    """(B, H, W, C) eligibility: 2-D maps, W a lane-tile multiple within the
+    compile-proven width, a valid row stripe, B a sublane multiple (the dx
+    combine shifts rows by B and needs tile-aligned concats)."""
     if len(shape) != 4:
         return False
     B, H, W, C = shape
-    return (W % 128 == 0 and B % 8 == 0 and H >= 2
-            and _pick_rh(H) is not None)
+    return (W % 128 == 0 and W <= _W_MAX and B % 8 == 0 and H >= 2
+            and _pick_rh(H, W, B, C) is not None)
 
 
 def conv3x3_hwbc(x, w, b, x2=None, prologue=None, leaky_slope: float = 0.01,
@@ -212,8 +228,9 @@ def conv3x3_hwbc(x, w, b, x2=None, prologue=None, leaky_slope: float = 0.01,
     Ci_total = Ci + (x2.shape[3] if x2 is not None else 0)
     assert w.shape == (3, 3, Ci_total, w.shape[3]), (w.shape, Ci_total)
     Co = w.shape[3]
-    Rh = _pick_rh(H)
-    assert Rh is not None and W % 128 == 0 and B % 8 == 0, (H, W, B)
+    Rh = _pick_rh(H, W, B, Co)
+    assert Rh is not None and W % 128 == 0 and W <= _W_MAX \
+        and B % 8 == 0, (H, W, B)
     n_stripes = H // Rh
 
     wk = _stack_weights_dx(w)  # (3, Ci_total, 3*Co)

@@ -83,21 +83,27 @@ class TestKernel:
     def test_supported(self):
         from dinounet_tpu.ops.conv_hwbc_pallas import hwbc_supported
 
-        assert hwbc_supported((8, 512, 512, 32))
+        assert hwbc_supported((8, 128, 128, 128))
         assert hwbc_supported((8, 256, 256, 64))
+        # W=512 deterministically crashes the Mosaic compiler (round-4
+        # probes) — rejected until the kernel W-chunks internally
+        assert not hwbc_supported((8, 512, 512, 32))
         assert not hwbc_supported((8, 512, 96, 32))   # W not a lane multiple
-        assert not hwbc_supported((6, 512, 512, 32))  # B not a sublane mult
+        assert not hwbc_supported((6, 256, 256, 32))  # B not a sublane mult
         assert not hwbc_supported((8, 512, 512))      # rank
 
 
 class TestExport:
     def test_tpu_export_both_forms(self):
         """BlockSpec/Mosaic-serialization legality without a device (the
-        same gate as tests/test_tpu_export.py) at the real stage-2 shape."""
+        same gate as tests/test_tpu_export.py) at the largest SUPPORTED
+        stage shape (the 512-wide stage-2 map is rejected by
+        hwbc_supported — W=512 crashes the real Mosaic compile, a failure
+        class export cannot see)."""
         from dinounet_tpu.ops.conv_hwbc_pallas import conv3x3_hwbc
 
         S = jax.ShapeDtypeStruct
-        x = S((512, 512, 8, 32), jnp.bfloat16)
+        x = S((256, 256, 8, 32), jnp.bfloat16)
         b = S((32,), jnp.float32)
         jax.export.export(
             jax.jit(lambda x, x2, w, b, s, t: conv3x3_hwbc(
