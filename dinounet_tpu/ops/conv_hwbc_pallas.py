@@ -174,25 +174,25 @@ def _conv_kernel(slope, n_stripes, two_inputs, co, x_ref, x2_or_xp_ref, *rest):
     ssq_ref[0] = jnp.sum(of * of, axis=0)
 
 
-_VREG_BUDGET = 1024  # (Rh*W*B/8) * ceil(3*Co/128) cap — the largest
-                     # accumulator footprint proven to compile (round-4
-                     # probes: 1024x1, 512x2, 256x3 tile-units pass; the
-                     # in-model Rh=8/Ci=128 choice at 1024x3 crashes)
-_W_MAX = 384       # W=512 blocks deterministically crash the Mosaic
-                   # compiler at ANY Rh/Ci/Co (round-4 probe /tmp/hwbc_w.py:
-                   # w384 passes, w512 fails at c32/c64/c128) — the 512^2
-                   # stage needs in-kernel W-chunking; until then it stays
-                   # on XLA and hwbc_supported rejects it
+# Compile-proven vector budgets, in (Rh*W*B/8) * ceil(3*Co/128) tile-units
+# (the accumulator footprint). Round-4 probes against the real Mosaic
+# compiler: at W<=384, 1024x1 / 512x2 / 256x3 units pass while the naive
+# Rh=8-at-Ci=128 choice (1024x3) crashes; at W=512 the cliff is LOWER —
+# 512 units (Rh=1) pass, 1024 units (Rh=2) crash at any channel count.
+_VREG_BUDGET = 1024
+_VREG_BUDGET_W512 = 512
+_W_MAX = 512
 
 
 def _pick_rh(h: int, w: int = 128, b: int = 8, co: int = 32,
              cap: int = 8) -> Optional[int]:
     """Largest row-stripe dividing h whose (M, 3*Co) accumulator stays
     within the compile-proven vector budget (bigger in-kernel values crash
-    the compiler — see _VREG_BUDGET)."""
+    the compiler — see _VREG_BUDGET*)."""
+    budget = _VREG_BUDGET_W512 if w >= 512 else _VREG_BUDGET
     tiles = (3 * co + 127) // 128
     for r in range(min(cap, h), 0, -1):
-        if h % r == 0 and (r * w * b // 8) * tiles <= _VREG_BUDGET:
+        if h % r == 0 and (r * w * b // 8) * tiles <= budget:
             return r
     return None
 

@@ -85,9 +85,12 @@ class TestKernel:
 
         assert hwbc_supported((8, 128, 128, 128))
         assert hwbc_supported((8, 256, 256, 64))
-        # W=512 deterministically crashes the Mosaic compiler (round-4
-        # probes) — rejected until the kernel W-chunks internally
-        assert not hwbc_supported((8, 512, 512, 32))
+        # W=512 compiles only under the tighter Rh=1 budget (round-4 probes)
+        assert hwbc_supported((8, 512, 512, 32))
+        from dinounet_tpu.ops.conv_hwbc_pallas import _pick_rh
+        assert _pick_rh(512, 512, 8, 32) == 1
+        assert _pick_rh(256, 256, 8, 64) == 2
+        assert _pick_rh(128, 128, 8, 128) == 2
         assert not hwbc_supported((8, 512, 96, 32))   # W not a lane multiple
         assert not hwbc_supported((6, 256, 256, 32))  # B not a sublane mult
         assert not hwbc_supported((8, 512, 512))      # rank
