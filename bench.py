@@ -42,7 +42,7 @@ LAST_KNOWN_GOOD = {
     "dinounet_s": 222.9,   # round 4 (was 201.6 round 2)
     "dinounet_b": 161.6,   # round 4
     "dinounet_l": 71.5,    # round 4 (was 67.8 round 2)
-    "dinounet_7b": 7.7,    # round 2 (round-4 re-measure pending seg-impl fix)
+    "dinounet_7b": 8.1,    # round 4 (scanned backbone + bf16 bench weights)
 }
 SUSPECT_FRACTION = 0.3
 
@@ -80,8 +80,25 @@ def build(batch, model_name=None):
     )
     model = DinoUNet(cfg)
     x = jnp.zeros((batch, 512, 512, 1), jnp.bfloat16)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), x, train=False)
+    if model_name == "dinounet_7b":
+        # The real published 7B weights are bf16 and the converter preserves
+        # that (models/convert.py), so serving loads ~13.5 GiB — but
+        # model.init creates f32 params (~28 GiB), which neither fits the
+        # 16 GiB chip nor survives compile-time buffer assignment (the
+        # round-4 7B HTTP-500s were exactly this). Build the bench weights
+        # at the serving dtype directly: shapes from eval_shape, matrix
+        # (ndim>=2) f32 leaves stored bf16, vectors/norm params kept f32.
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, x, train=False), jax.random.PRNGKey(0))
+        variables = jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape,
+                jnp.bfloat16 if (s.dtype == jnp.float32 and len(s.shape) >= 2)
+                else s.dtype),
+            shapes)
+    else:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False)
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     return fwd, variables, x

@@ -98,8 +98,15 @@ def adapter_int8() -> bool:
     backbone linears. The extractors are NOT frozen in training (unlike the
     backbone), so this — like every int8 knob — is inference/serving only;
     the kernels carry exact-fp VJPs but training paths never enable
-    vit_int8. DINOUNET_TPU_INT8_ADAPTER=0 opts out for ablation."""
-    return vit_int8() and os.environ.get("DINOUNET_TPU_INT8_ADAPTER", "1") == "1"
+    vit_int8.
+
+    Default flipped OFF in round 4: the junction matmuls were never
+    MXU-bound (round-2 bf16 fusion there was already neutral), so in-kernel
+    dynamic quantization is pure overhead — measured −4 p/s on the ndh
+    chain and −13 on the dmaj chain (ab_int8_r4.json / ab_int8c_r4.json:
+    int8 backbone-only 166.1-166.2 vs with-adapter 153.3-153.7 p/s).
+    DINOUNET_TPU_INT8_ADAPTER=1 opts in for ablation."""
+    return vit_int8() and os.environ.get("DINOUNET_TPU_INT8_ADAPTER", "0") == "1"
 
 
 def use_fused_attention() -> bool:
@@ -114,6 +121,37 @@ def use_fused_attention() -> bool:
     if impl == "jax":
         return False
     return use_pallas_msda()
+
+
+def vit_scan_threshold() -> int:
+    """Block-count threshold above which DinoViT runs its homogeneous block
+    stack as ONE lax.scan body with depth-stacked params instead of an
+    unrolled chain (round 4, DINOUNET_TPU_VIT_SCAN).
+
+    Why: the unrolled ViT-7B/16 graph (40 blocks) exceeds what the XLA:TPU
+    compile service will process (opaque HTTP-500/compiler-OOM — round-4
+    bisection: the same blocks at depth 4 compile in 13 s, depth 40 dies,
+    independent of every kernel knob), and a scanned body shrinks the
+    backbone graph ~depth-fold. Deliberately NOT used for the s/b/l models:
+    their unrolled graphs compile fast, the stats-threaded fused-dense
+    chain is inter-block-heterogeneous at the boundaries, and unrolling
+    lets XLA overlap across block boundaries.
+
+    DINOUNET_TPU_VIT_SCAN: "auto" (default; scan when depth >= 24 on the
+    non-fused path), "0"/"off" (never), or an integer threshold.
+    Checkpoint note: scan mode stacks each block param leaf along a leading
+    depth axis (params under 'blocks_scan/...'); models/convert.py emits
+    the stacked layout when the mode is active for the target config.
+    """
+    v = os.environ.get("DINOUNET_TPU_VIT_SCAN", "auto")
+    if v in ("auto", ""):
+        return 24
+    if v in ("0", "off", "never"):
+        return 1 << 30
+    try:
+        return max(1, int(v))
+    except ValueError:
+        return 24
 
 
 def attn_premapped_layout() -> str:

@@ -22,7 +22,7 @@ Key mappings (torch -> flax):
 import json
 import os
 import pickle
-from typing import Dict, Mapping, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import numpy as np
 
@@ -169,15 +169,37 @@ def _torch_to_numpy(t):
     return t.numpy()
 
 
+def stack_scan_blocks(params: dict, depth: int) -> dict:
+    """Re-layout unrolled per-block params (block0..block{depth-1}) into the
+    scanned-backbone layout (blocks_scan/block with a leading depth axis) —
+    the param tree DinoViT uses when configuration.vit_scan_threshold puts
+    the model on the lax.scan path (the 40-block 7B graph; round 4).
+    Exactly inverse-free: stacking the unrolled leaves reproduces the
+    scanned model's outputs bit-for-bit (tests/test_vit_scan.py)."""
+    import jax.tree_util as jtu
+
+    out = {k: v for k, v in params.items() if not k.startswith("block")}
+    blocks = [params[f"block{i}"] for i in range(depth)]
+    out["blocks_scan"] = {
+        "block": jtu.tree_map(lambda *ls: np.stack(ls), *blocks)}
+    return out
+
+
 def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str,
-                             verify: bool = True) -> None:
+                             verify: bool = True,
+                             scan_layout: Optional[bool] = None) -> None:
     """Convert a published DINOv3 .pth into our msgpack backbone params.
     model_name: dinov3_vits16 | dinov3_vitb16 | dinov3_vitl16 | dinov3_vit7b16.
 
     verify=True first validates every key/shape against the golden manifest
     (checkpoint_manifest.json) and then requires the converter to consume all
     non-ignored keys — a broken download or key-map drift fails loudly instead
-    of producing a silently-partial conversion."""
+    of producing a silently-partial conversion.
+
+    scan_layout=None emits the layout the runtime will use (stacked
+    blocks_scan when the model's depth reaches configuration.
+    vit_scan_threshold on the non-fused path — i.e. the 7B); True/False
+    force the stacked/unrolled layout."""
     import torch
 
     cfg = VIT_CONFIGS[model_name]
@@ -192,6 +214,13 @@ def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str,
             {k: tuple(v.shape) for k, v in state_dict.items()}, model_name)
     sd = {k: _torch_to_numpy(v) for k, v in state_dict.items()}
     params = convert_dinov3_state_dict(sd, cfg, strict=verify)
+    if scan_layout is None:
+        from dinounet_tpu.configuration import vit_scan_threshold
+
+        scan_layout = (cfg.ffn_layer != "mlp"
+                       and cfg.depth >= vit_scan_threshold())
+    if scan_layout:
+        params = stack_scan_blocks(params, cfg.depth)
     save_backbone_params(params, out_path)
 
 

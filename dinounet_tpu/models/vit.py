@@ -571,6 +571,50 @@ class DinoViT(nn.Module):
 
             stats = row_stats(tokens)
 
+        from dinounet_tpu.configuration import vit_scan_threshold
+
+        # structural condition only (ffn_layer, depth) — NOT `fused` — so
+        # the param layout cannot silently change with the DENSE_IMPL knob
+        # (ViT-L is depth 24 mlp and must keep its unrolled tree under
+        # dense=jax A/Bs); mlp configs always unroll for the stats-threaded
+        # chain, swiglu (7B) scans at depth >= the threshold
+        if cfg.ffn_layer != "mlp" and cfg.depth >= vit_scan_threshold():
+            # Scanned homogeneous block stack (configuration.
+            # vit_scan_threshold): ONE traced block body, params stacked
+            # (depth, ...) by nn.scan — the unrolled 40-block ViT-7B graph
+            # is too large for the XLA:TPU compile service (round-4
+            # bisection), and lax.scan is the idiomatic fix. take-index
+            # outputs land in a carried slot buffer via a per-step select.
+            take_arr = jnp.asarray(list(take_indices), jnp.int32)
+            n_take = len(take_indices)
+            buf0 = jnp.zeros((n_take,) + tokens.shape, tokens.dtype)
+
+            class _ScanBody(nn.Module):
+                cfg: ViTConfig
+
+                @nn.compact
+                def __call__(self, carry, _):
+                    toks, buf, i = carry
+                    toks = Block(self.cfg, name="block")(toks, (sin, cos))
+                    write = (take_arr == i)[:, None, None, None]
+                    buf = jnp.where(write, toks[None], buf)
+                    return (toks, buf, i + 1), None
+
+            scanned = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.depth,
+            )(cfg, name="blocks_scan")
+            (_, buf, _), _ = scanned(
+                (tokens, buf0, jnp.int32(0)), None)
+            outputs = []
+            for slot in range(n_take):
+                normed = final_norm(buf[slot])
+                outputs.append(
+                    (normed[:, cfg.n_prefix_tokens:], normed[:, 0]))
+            return outputs
+
         take = set(int(i) for i in take_indices)
         outputs = []
         for i in range(cfg.depth):

@@ -53,6 +53,11 @@ INT8_MATRIX = {
     "int8-noadapter": {"DINOUNET_TPU_VIT_INT8": "1",
                        "DINOUNET_TPU_INT8_ADAPTER": "0"},
     "int8-fused-2":  {"DINOUNET_TPU_VIT_INT8": "1"},
+    "bf16-2":        {"DINOUNET_TPU_VIT_INT8": "0"},
+    "int8-noadapter-2": {"DINOUNET_TPU_VIT_INT8": "1",
+                         "DINOUNET_TPU_INT8_ADAPTER": "0"},
+    "int8-noadapter-3": {"DINOUNET_TPU_VIT_INT8": "1",
+                         "DINOUNET_TPU_INT8_ADAPTER": "0"},
 }
 
 # wide decoder stages (round 3): zero-padded full-lane convs vs status quo
