@@ -45,13 +45,17 @@ _BLOCK_RULES = {
 def _spec_for(path: Tuple[str, ...], leaf) -> P:
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     if "backbone" in names:
+        # scanned-backbone layout (blocks_scan, round 4): every block leaf
+        # carries a leading depth axis — shard the same dims, depth
+        # replicated (scan slices per-iteration along axis 0)
+        stacked = "blocks_scan" in names
         for i, n in enumerate(names):
             if n in _BLOCK_RULES and i + 1 < len(names):
                 kernel_spec, bias_spec = _BLOCK_RULES[n]
-                if names[i + 1] == "kernel" and leaf.ndim == 2:
-                    return kernel_spec
-                if names[i + 1] == "bias" and leaf.ndim == 1:
-                    return bias_spec
+                if names[i + 1] == "kernel" and leaf.ndim == 2 + stacked:
+                    return P(None, *kernel_spec) if stacked else kernel_spec
+                if names[i + 1] == "bias" and leaf.ndim == 1 + stacked:
+                    return P(None, *bias_spec) if stacked else bias_spec
     return P()
 
 

@@ -148,9 +148,13 @@ class TestDinoUNet7BSpecs:
                 if axis_name == MODEL_AXIS:
                     assert leaf.shape[dim] % n_model == 0, (path, leaf.shape)
                     n_sharded += 1
-        # every one of the 40 blocks shards qkv(k+b), proj(k), w1(k+b),
-        # w2(k+b), w3(k) -- qkv has no bias on 7B
-        assert n_sharded == 40 * 7, n_sharded
+        # the scanned-backbone layout (round 4, blocks_scan) stacks all 40
+        # blocks into 7 depth-stacked leaves — qkv(k+b), proj(k), w1(k+b),
+        # w2(k+b), w3(k) (qkv has no bias on 7B), each sharded on its
+        # megatron dim with the depth axis replicated; the unrolled layout
+        # would count 40x that
+        assert n_sharded == 7, n_sharded
+        assert "blocks_scan" in params["backbone"]
 
         # the sharded fraction covers the bulk of the 7B weights
         total = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))

@@ -105,6 +105,48 @@ class TestScanParity:
         assert cfg.depth >= vit_scan_threshold()
 
 
+class TestScanSharding:
+    def test_megatron_specs_on_stacked_leaves(self):
+        """The 7B megatron specs must shard the SAME dims on the scanned
+        (depth-stacked) layout, with the depth axis replicated — a 2-D-only
+        name match would silently replicate 13.5 GiB per chip."""
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+
+        from dinounet_tpu.parallel.sharding import param_spec_tree
+
+        D, E = 5, 64
+        params = {"backbone": {"blocks_scan": {"block": {
+            "attn": {"qkv": {"kernel": np.zeros((D, E, 3 * E)),
+                             "bias": np.zeros((D, 3 * E))},
+                     "proj": {"kernel": np.zeros((D, E, E)),
+                              "bias": np.zeros((D, E))}},
+            "mlp": {"w1": {"kernel": np.zeros((D, E, 2 * E))},
+                    "w3": {"kernel": np.zeros((D, 2 * E, E))}},
+        }}}}
+        specs = param_spec_tree(params)
+        blk = specs["backbone"]["blocks_scan"]["block"]
+        assert blk["attn"]["qkv"]["kernel"] == P(None, None, "model")
+        assert blk["attn"]["qkv"]["bias"] == P(None, "model")
+        assert blk["attn"]["proj"]["kernel"] == P(None, "model", None)
+        assert blk["attn"]["proj"]["bias"] == P(None)
+        assert blk["mlp"]["w1"]["kernel"] == P(None, None, "model")
+        assert blk["mlp"]["w3"]["kernel"] == P(None, "model", None)
+
+    def test_unrolled_specs_unchanged(self):
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+
+        from dinounet_tpu.parallel.sharding import param_spec_tree
+
+        params = {"backbone": {"block0": {"attn": {"qkv": {
+            "kernel": np.zeros((64, 192)), "bias": np.zeros((192,))}}}}}
+        specs = param_spec_tree(params)
+        q = specs["backbone"]["block0"]["attn"]["qkv"]
+        assert q["kernel"] == P(None, "model")
+        assert q["bias"] == P("model")
+
+
 class TestScanExport:
     def test_tpu_export_scanned_small(self, x, monkeypatch):
         """Mosaic-serialization legality of the scanned graph (incl. the
