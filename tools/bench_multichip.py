@@ -79,8 +79,21 @@ def main():
     model = DinoUNet(cfg)
     dtype = jnp.bfloat16 if not args.force_cpu_mesh else jnp.float32
     x = jnp.zeros((batch, args.tile, args.tile, 1), dtype)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), x, train=False)
+    if args.model == "dinounet_7b" and not args.force_cpu_mesh:
+        # same fix as bench.py (round 4): model.init makes f32 params
+        # (~28 GiB for 7B) — real serving loads the published bf16 weights,
+        # so benchmark at that dtype: shapes only, matrix leaves bf16
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, x, train=False), jax.random.PRNGKey(0))
+        variables = jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape,
+                jnp.bfloat16 if (s.dtype == jnp.float32 and len(s.shape) >= 2)
+                else s.dtype),
+            shapes)
+    else:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False)
 
     # commit the shardings: megatron specs on backbone weights over 'model'
     # (no-ops at n_model=1), everything else replicated, tiles over 'data'
