@@ -185,6 +185,40 @@ def stack_scan_blocks(params: dict, depth: int) -> dict:
     return out
 
 
+def unstack_scan_blocks(params: dict) -> dict:
+    """Inverse of stack_scan_blocks: blocks_scan/block (leading depth axis)
+    back to unrolled block0..block{depth-1}. Lets a checkpoint converted in
+    the stacked layout load into an unrolled model (and vice versa via
+    stack_scan_blocks) — the layout is a runtime choice, never baked into
+    the artifact (ADVICE r4)."""
+    import jax.tree_util as jtu
+
+    out = {k: v for k, v in params.items() if k != "blocks_scan"}
+    stacked = params["blocks_scan"]["block"]
+    depth = jtu.tree_leaves(stacked)[0].shape[0]
+    for i in range(depth):
+        out[f"block{i}"] = jtu.tree_map(lambda l, i=i: np.asarray(l[i]),
+                                        stacked)
+    return out
+
+
+def adapt_backbone_layout(loaded: dict, current: dict) -> dict:
+    """Re-layout loaded backbone params (stacked blocks_scan vs unrolled
+    blockN) to match the layout the current model instance uses. Both
+    layouts hold identical leaves (tests/test_vit_scan.py), so this is a
+    pure restructuring; checkpoints stay loadable regardless of the
+    DINOUNET_TPU_VIT_SCAN env they were converted under."""
+    loaded_stacked = "blocks_scan" in loaded
+    current_stacked = "blocks_scan" in current
+    if loaded_stacked and not current_stacked:
+        return unstack_scan_blocks(loaded)
+    if current_stacked and not loaded_stacked:
+        depth = sum(1 for k in loaded if k.startswith("block")
+                    and k != "blocks_scan")
+        return stack_scan_blocks(loaded, depth)
+    return loaded
+
+
 def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str,
                              verify: bool = True,
                              scan_layout: Optional[bool] = None) -> None:
@@ -199,7 +233,10 @@ def convert_torch_checkpoint(pth_path: str, model_name: str, out_path: str,
     scan_layout=None emits the layout the runtime will use (stacked
     blocks_scan when the model's depth reaches configuration.
     vit_scan_threshold on the non-fused path — i.e. the 7B); True/False
-    force the stacked/unrolled layout."""
+    force the stacked/unrolled layout. Either layout loads into either
+    model layout: load_dinov3_params_into re-layouts on demand via
+    adapt_backbone_layout, so the conversion-time env never bakes an
+    unloadable artifact."""
     import torch
 
     cfg = VIT_CONFIGS[model_name]
@@ -291,6 +328,10 @@ def load_dinov3_params_into(variables: dict, path: str) -> dict:
 
     loaded = load_backbone_params(path)
     current = variables["params"]["backbone"]
+    # a checkpoint may have been converted under a different
+    # DINOUNET_TPU_VIT_SCAN setting than this process runs with — re-layout
+    # (stack/unstack) instead of failing with an opaque KeyError
+    loaded = adapt_backbone_layout(loaded, current)
 
     def check(cur, new):
         cur_flat = jax.tree_util.tree_flatten_with_path(cur)[0]

@@ -524,6 +524,11 @@ class DinoViT(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, take_indices: Sequence[int]):
         cfg = self.cfg
+        # normalize to sorted-unique so the scanned path (emits in
+        # take_indices order) and the unrolled path (emits in ascending
+        # block order via a set) can never return differently
+        # ordered/sized results (ADVICE r4)
+        take_indices = tuple(sorted(set(int(i) for i in take_indices)))
         cdt = jnp.dtype(cfg.dtype)
         B, H, W, _ = x.shape
         p = cfg.patch_size

@@ -48,8 +48,13 @@ INT8_MATRIX = {
                       "DINOUNET_TPU_INT8_QKV": "0"},
     "int8-unfused":  {"DINOUNET_TPU_VIT_INT8": "1",
                       "DINOUNET_TPU_DENSE_IMPL": "jax"},
-    # round 4: int8-fused now includes the adapter extractor junctions
-    # (configuration.adapter_int8); this row ablates them back to bf16
+    # round 4 history: int8-fused briefly included the adapter extractor
+    # junctions by default; since the DINOUNET_TPU_INT8_ADAPTER default flip
+    # to '0' the 'int8-noadapter*' rows equal plain 'int8-fused*'. The
+    # explicit opt-in row below keeps the adapter-junction ablation
+    # reproducible (ADVICE r4).
+    "int8-adapter":  {"DINOUNET_TPU_VIT_INT8": "1",
+                      "DINOUNET_TPU_INT8_ADAPTER": "1"},
     "int8-noadapter": {"DINOUNET_TPU_VIT_INT8": "1",
                        "DINOUNET_TPU_INT8_ADAPTER": "0"},
     "int8-fused-2":  {"DINOUNET_TPU_VIT_INT8": "1"},
