@@ -62,6 +62,53 @@ def msda_fused_prep() -> bool:
     return os.environ.get("DINOUNET_TPU_MSDA_PREP", "fused") == "fused"
 
 
+def int8_qkv_impl() -> str:
+    """Implementation of the int8 serving mode's dmaj qkv projection.
+
+    "xla" (default): the einsum formulation (qkv_q8_premapped_dmaj). The
+    round-5 trace showed this already runs at ~87% of the int8 MXU ceiling
+    (0.085 ms dot + 0.025 ms quantize prep per ViT-B block vs bf16's
+    0.317 ms) — XLA fuses the int32->f32 rescale into the dot and the LN
+    apply into the quantize, so the "XLA-side quantize + rescale passes"
+    residual BASELINE.md carried from round 3 no longer exists at HEAD.
+    "kernel": the fused Pallas path (ops/dense_q8_pallas.py::
+    qkv_q8_dmaj_fused — per-token quantize, int8 dot, rescale in VMEM),
+    MEASURED SLIGHTLY NEGATIVE round 5 (kernel 164.99/165.57 vs xla
+    165.99/166.24 p/s, duplicate subprocess rows): its (B,N,C)->(B,C,N)
+    operand transpose + the forfeited LN-into-dot fusion cost more than the
+    (already-fused) passes it removes. Kept parity-/gate-tested so the
+    measurement is reproducible.
+
+    Env DINOUNET_TPU_INT8_QKV_IMPL in {"kernel", "xla"}."""
+    v = os.environ.get("DINOUNET_TPU_INT8_QKV_IMPL", "xla")
+    return v if v in ("kernel", "xla") else "xla"
+
+
+def msda_merged_proj() -> bool:
+    """Merged sampling_offsets + attention_weights projection (round 5).
+
+    On the fused-prep Pallas path the two per-extractor projections read the
+    same (B, 5376, 768) query activation (~66 MB) from HBM twice; the
+    round-5 measured-byte floors put each dot at its read floor, so the only
+    way to go faster is to read once. With this knob the adapter emits ONE
+    channel-major einsum whose weight matrix interleaves the two kernels per
+    head ((2LP offset | LP logit) rows), and the MSDA kernel consumes the
+    packed buffer directly via BlockSpecs
+    (ops/msda_pallas.py::ms_deform_attn_pallas_premapped_fused_merged) — no
+    XLA slice pass in between. Param trees are unchanged (the two Dense
+    param sets still exist; the interleave happens on the weight side).
+
+    Env DINOUNET_TPU_MSDA_MERGED_PROJ in {"1", "0"}; default "0" — the
+    round-5 hardware A/B measured the merge NEUTRAL-to-slightly-negative
+    (merged 160.95/161.33 vs separate 161.27/161.49 p/s, duplicate
+    subprocess rows): the two 66 MB query reads are evidently overlapped
+    behind the MSDA kernels, so removing one buys nothing while the packed
+    (B, 3LP·M, Lq) einsum costs a little elsewhere. Kept as a parity- and
+    gate-tested knob so the measurement is reproducible. Only consulted
+    when the premapped+fused-prep path is active."""
+    return os.environ.get("DINOUNET_TPU_MSDA_MERGED_PROJ", "0") == "1"
+
+
 def vit_int8() -> bool:
     """Experimental int8 serving mode for the FROZEN backbone's linear layers.
 
@@ -319,6 +366,32 @@ def decoder_hwbc() -> str:
     the kernel in interpreter mode (tests); default set by hardware A/B.
     Inference-only: training keeps the flax graph."""
     return os.environ.get("DINOUNET_TPU_DECODER_HWBC", "jax")
+
+
+def decoder_concat_impl() -> str:
+    """How each decoder stage feeds [transpconv_out, skip] to its first conv.
+
+    "concat" (default): materialize jnp.concatenate([up, skip], -1) and run
+    conv0 over the 2C-channel map — the reference formulation
+    (ref dinounet_training.py:601-612). In the round-5 train trace this
+    cluster is ~5.4 ms of the 58.7 ms dinounet_s step: the concat runs as
+    pad/maximum fusions into XLA's 3-tap windowed conv layouts (~4.5 ms
+    incl. a 1.27 ms pad_maximum_fusion at 512^2) and its backward is a
+    0.9 ms split + relayout copies.
+
+    "split": exploit conv linearity in input channels —
+    conv0(concat(up, skip)) == conv0[:, :, :C](up) + conv0[:, :, C:](skip)
+    — so the 2C map never exists: two C-channel convs accumulate into the
+    same output, the backward produces the two input grads directly with no
+    split, and XLA lays out each branch from its producer's layout. Exact
+    same param tree (the kernel is sliced, not re-declared); numerics agree
+    up to f32-accumulation order inside the dot.
+
+    Env DINOUNET_TPU_DECODER_CONCAT in {"concat", "split"}; applies to the
+    plain flax stage path (train and eval); the fused/hwbc/wide inference
+    paths keep their own formulations."""
+    v = os.environ.get("DINOUNET_TPU_DECODER_CONCAT", "concat")
+    return v if v in ("concat", "split") else "concat"
 
 
 def decoder_wide_convs() -> bool:

@@ -82,6 +82,24 @@ class _ChannelMajorDense(nn.Module):
         return out + b.astype(self.dtype)[None, :, None]
 
 
+class _CMDenseParams(nn.Module):
+    """Declares a _ChannelMajorDense-identical param tree (kernel (in, out),
+    bias (out,)) and returns the raw params — for projections whose matmul
+    runs merged with a sibling projection (round-5 merged MSDA prep). Naming
+    this "sampling_offsets"/"attention_weights" yields exactly the separate
+    modules' checkpoint layout."""
+    features: int
+    kernel_init: callable = nn.initializers.lecun_normal()
+    bias_init: callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", self.kernel_init,
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        return k, b
+
+
 class _ChannelMajorOutputProj(nn.Module):
     """nn.Dense-compatible params (kernel (M*D, E), bias) consuming the MSDA
     kernel's native (B, M, D, N) output: one contraction over (M, D), output
@@ -206,17 +224,47 @@ class MSDeformAttn(nn.Module):
         # XLA cast pass materializes an fp32 copy
         v_t = v_t.reshape(B, M, D, -1)
 
-        off_raw = _ChannelMajorDense(
-            M * L * P * 2, dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
-            bias_init=_sampling_offset_bias_init(M, L, P),
-            name="sampling_offsets",
-        )(query)
-        attn_raw = _ChannelMajorDense(
-            M * L * P, dtype=self.dtype,
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            name="attention_weights",
-        )(query)
+        from dinounet_tpu.configuration import msda_fused_prep, msda_merged_proj
+
+        fused_prep = msda_fused_prep()
+        merged = fused_prep and msda_merged_proj()
+        LP = L * P
+        if merged:
+            # ONE einsum reads the query once for both heads: the two
+            # nn.Dense-identical param sets are interleaved per head on the
+            # weight side ((2LP offset | LP logit) columns per head) and the
+            # MSDA kernel consumes the packed buffer directly — the round-5
+            # floor analysis measured the two separate dots at their 66 MB
+            # query-read floors, so one read is the only remaining win.
+            ko, bo = _CMDenseParams(
+                M * LP * 2, kernel_init=nn.initializers.zeros,
+                bias_init=_sampling_offset_bias_init(M, L, P),
+                name="sampling_offsets")(query.shape[-1])
+            ka, ba = _CMDenseParams(
+                M * LP, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="attention_weights")(query.shape[-1])
+            E_in = query.shape[-1]
+            kc = jnp.concatenate(
+                [ko.reshape(E_in, M, 2 * LP), ka.reshape(E_in, M, LP)],
+                axis=2).reshape(E_in, M * 3 * LP).astype(self.dtype)
+            bc = jnp.concatenate(
+                [bo.reshape(M, 2 * LP), ba.reshape(M, LP)],
+                axis=1).reshape(M * 3 * LP).astype(self.dtype)
+            packed = jnp.einsum("bne,ec->bcn", query.astype(self.dtype), kc)
+            packed = (packed + bc[None, :, None]).reshape(B, M, 3 * LP, Lq)
+        else:
+            off_raw = _ChannelMajorDense(
+                M * L * P * 2, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=_sampling_offset_bias_init(M, L, P),
+                name="sampling_offsets",
+            )(query)
+            attn_raw = _ChannelMajorDense(
+                M * L * P, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                name="attention_weights",
+            )(query)
 
         sizes = np.array([[w, h] for (h, w) in value_spatial_shapes],
                          dtype=np.float32)  # (L, 2) = (W_l, H_l)
@@ -232,8 +280,18 @@ class MSDeformAttn(nn.Module):
         base_x = jnp.repeat(refx[None, :] * sizes[:, 0:1] - 0.5, P, axis=0)
         base_y = jnp.repeat(refy[None, :] * sizes[:, 1:2] - 0.5, P, axis=0)
 
-        from dinounet_tpu.configuration import msda_fused_prep
-        if msda_fused_prep():
+        if merged:
+            # fused prep over the merged projection buffer: one einsum, one
+            # query read, no XLA slice between projection and kernel
+            from dinounet_tpu.ops.msda_pallas import (
+                ms_deform_attn_pallas_premapped_fused_merged,
+            )
+
+            base = jnp.stack([base_x, base_y], axis=1).reshape(2 * L * P, Lq)
+            out_t = ms_deform_attn_pallas_premapped_fused_merged(
+                v_t, tuple(value_spatial_shapes), packed, base, False,
+                jnp.dtype(self.dtype))
+        elif fused_prep:
             # fused prep: the kernel takes the raw bf16 projection outputs
             # and does the f32 cast + base add + softmax in VMEM
             from dinounet_tpu.ops.msda_pallas import (

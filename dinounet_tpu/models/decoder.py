@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dinounet_tpu.models.layers import (StackedConvBlocks, TransposedConv,
-                                        conv_kaiming_init)
+                                        conv_kaiming_init, nonlin_fn)
 
 
 class _ConvParams(nn.Module):
@@ -232,6 +232,8 @@ class UNetDecoder(nn.Module):
             )(lres, logical_in=lres_logical)
             if self._use_hwbc(s, x, skip, train):
                 x = self._hwbc_stage(s, x, skip)
+            elif self._use_split_concat(s, wide):
+                x = self._split_concat_stage(s, x, skip)
             else:
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = StackedConvBlocks(
@@ -259,6 +261,64 @@ class UNetDecoder(nn.Module):
         if self.deep_supervision:
             return seg_outputs
         return seg_outputs[0]
+
+    def _use_split_concat(self, s, wide) -> bool:
+        """conv0(concat(up, skip)) as two input-channel-sliced convs summed —
+        the 2C concat map never materializes (configuration.
+        decoder_concat_impl; the round-5 train trace showed the concat
+        cluster + backward split at ~5.4 ms of the dinounet_s step)."""
+        if wide or self.n_conv_per_stage[s - 1] != 2:
+            return False
+        if self.norm != "instancenorm" or self.nonlin != "leaky_relu":
+            return False
+        from dinounet_tpu.configuration import decoder_concat_impl
+
+        return decoder_concat_impl() == "split"
+
+    def _split_concat_stage(self, s, x_up, skip):
+        """StackedConvBlocks(n_convs=2) semantics with conv0's kernel sliced
+        over its input channels instead of concatenating the inputs: rows
+        [:C_up] consume the transpconv output, rows [C_up:] the skip (the ref
+        concat order, dinounet_training.py:601-612). Identical param tree
+        (stage{s-1}/conv{i}/{conv,norm/norm}) via _StageParams, identical
+        ConvNormAct math: bf16 conv + bias, f32 InstanceNorm, leaky."""
+        skip_ch = self.encoder_channels[-(s + 1)]
+        ks = tuple(self.encoder_kernel_sizes[-(s + 1)])
+        p0, p1 = _StageParams(skip_ch, ks, self.conv_bias,
+                              name=f"stage{s - 1}")(x_up.shape[-1]
+                                                    + skip.shape[-1])
+        k0, b0, g0, be0 = p0
+        k1, b1, g1, be1 = p1
+        nk = self.norm_kwargs or {}
+        nlk = self.nonlin_kwargs or {}
+        eps = nk.get("eps", 1e-5)
+        leaky = nonlin_fn(self.nonlin, nlk)
+        rank = len(ks)
+        dt = self.dtype
+
+        def conv(v, k, b=None):
+            y = jax.lax.conv_general_dilated(
+                v.astype(dt), k.astype(dt), (1,) * rank, "SAME",
+                dimension_numbers=(("NHWC", "HWIO", "NHWC") if rank == 2
+                                   else ("NDHWC", "DHWIO", "NDHWC")))
+            return y if b is None else y + b.astype(dt)
+
+        def inorm(v, g, be):
+            vf = v.astype(jnp.float32)
+            axes = tuple(range(1, v.ndim - 1))
+            mean = vf.mean(axes, keepdims=True)
+            mean2 = (vf * vf).mean(axes, keepdims=True)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            y = (vf - mean) * jax.lax.rsqrt(var + eps)
+            return (y * g + be).astype(v.dtype)
+
+        cu = x_up.shape[-1]
+        y = conv(x_up, k0[..., :cu, :]) + conv(skip, k0[..., cu:, :])
+        if self.conv_bias:
+            y = y + b0.astype(dt)
+        y = leaky(inorm(y, g0, be0))
+        y = conv(y, k1, b1 if self.conv_bias else None)
+        return leaky(inorm(y, g1, be1))
 
     def _use_hwbc(self, s, x_t, skip, train) -> bool:
         """Native-layout Pallas stage convs (ops/conv_hwbc_pallas.py,

@@ -453,6 +453,18 @@ def _use_phase_resize() -> bool:
     return os.environ.get("DINOUNET_TPU_RESIZE_IMPL", "matmul") == "phase"
 
 
+def _resize_w_first() -> bool:
+    """DINOUNET_TPU_RESIZE_ORDER in {"hw", "wh"}: axis order of the two
+    resize contractions. "hw" (default) resizes H first then W — the W
+    contraction runs on the already-H-resized (large) map and the round-4/5
+    traces show a 0.62 ms relayout copy on its operand at the x1 (4x) scale.
+    "wh" contracts W first at the small source H, making the H contraction
+    (a contraction over a major dim in the {3,0,2,1} layouts) the one that
+    writes the large map. The separable lerps commute; outputs agree up to
+    the bf16 rounding of the intermediate (exact in the f32 parity path)."""
+    return os.environ.get("DINOUNET_TPU_RESIZE_ORDER", "hw") == "wh"
+
+
 def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize NHWC, matching F.interpolate(align_corners=False,
     antialias=False), as two matmuls (or phase-decomposed lerps for integer
@@ -467,17 +479,21 @@ def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
         return x
     ct = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     phase = _use_phase_resize()
-    y = x.astype(ct)
-    if size[0] != H:
+
+    def resize_h(y):
+        if size[0] == H:
+            return y
         if phase and (size[0] % H == 0 or H % size[0] == 0):
-            y = _phase_axis_resize(y, 1, size[0], ct)
-        else:
-            y = jnp.einsum("hH,bHwc->bhwc",
-                           jnp.asarray(_resize_matrix(H, size[0]), ct), y)
-    if size[1] != W:
+            return _phase_axis_resize(y, 1, size[0], ct)
+        return jnp.einsum("hH,bHwc->bhwc",
+                          jnp.asarray(_resize_matrix(H, size[0]), ct), y)
+
+    def resize_w(y):
+        if size[1] == W:
+            return y
         if phase and (size[1] % W == 0 or W % size[1] == 0):
-            y = _phase_axis_resize(y, 2, size[1], ct)
-        elif _resize_emit_bhcw():
+            return _phase_axis_resize(y, 2, size[1], ct)
+        if _resize_emit_bhcw():
             # Emit the W contraction with the new w minor-adjacent to c and
             # transpose back logically: XLA's layout assignment can then hand
             # the consumer (the adapter's transpconv add-fusion reads x1 with
@@ -486,10 +502,15 @@ def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
             # same f32 accumulate, bit-identical values.
             y = jnp.einsum("wW,bhWc->bhcw",
                            jnp.asarray(_resize_matrix(W, size[1]), ct), y)
-            y = jnp.swapaxes(y, 2, 3)
-        else:
-            y = jnp.einsum("wW,bhWc->bhwc",
-                           jnp.asarray(_resize_matrix(W, size[1]), ct), y)
+            return jnp.swapaxes(y, 2, 3)
+        return jnp.einsum("wW,bhWc->bhwc",
+                          jnp.asarray(_resize_matrix(W, size[1]), ct), y)
+
+    y = x.astype(ct)
+    if _resize_w_first():
+        y = resize_h(resize_w(y))
+    else:
+        y = resize_w(resize_h(y))
     return y.astype(x.dtype)
 
 

@@ -285,11 +285,21 @@ class Attention(nn.Module):
                 from dinounet_tpu.configuration import int8_qkv
 
                 if vit_int8() and int8_qkv():
-                    from dinounet_tpu.ops.dense_q8_pallas import (
-                        qkv_q8_premapped_dmaj)
+                    from dinounet_tpu.configuration import int8_qkv_impl
 
-                    qkv_t = qkv_q8_premapped_dmaj(
-                        x, k_q, b_q if cfg.qkv_bias else None, M, Dh)
+                    if int8_qkv_impl() == "kernel":
+                        from dinounet_tpu.ops.dense_q8_pallas import (
+                            qkv_q8_dmaj_fused)
+
+                        qkv_t = qkv_q8_dmaj_fused(
+                            x, k_q, b_q if cfg.qkv_bias else None, M, Dh,
+                            interpret=interp)
+                    else:
+                        from dinounet_tpu.ops.dense_q8_pallas import (
+                            qkv_q8_premapped_dmaj)
+
+                        qkv_t = qkv_q8_premapped_dmaj(
+                            x, k_q, b_q if cfg.qkv_bias else None, M, Dh)
                 else:
                     qkv_t = jnp.einsum("bnc,cpmd->bpmdn", x,
                                        k_q.reshape(C, 3, M, Dh).astype(cdt))

@@ -454,6 +454,118 @@ def qkv_q8_premapped(x, kernel, bias, n_heads: int, head_dim: int):
     return y.astype(x.dtype)
 
 
+def _qkv_q8_dmaj_kernel(w_ref, x_ref, ws_ref, b_ref, o_ref, xq_ref, a_ref):
+    """Fused int8 dmaj qkv: one program = one (batch, output-row block).
+
+    x arrives channel-major (1, C, N) bf16 (tokens in lanes — the dmaj
+    layout's natural operand); on the first row-block the program quantizes
+    it per-token into VMEM scratch (the C-axis max is a sublane reduce, so
+    the scale lands lane-shaped (1, N) and broadcasts directly over the
+    (Jblk, N) accumulator — no forbidden lane->sublane relayout). Every
+    row-block then runs the int8 dot and the f32 rescale + bias in VMEM.
+    This removes the two XLA passes the round-4/5 traces charged to the
+    int8 qkv: the standalone per-token quantize and — much bigger — the
+    int32->f32 rescale pass over the (B, 3, M, Dh, N) accumulator
+    (~76 MB/block for ViT-B)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[0].astype(jnp.float32)  # (C, N)
+        a = jnp.maximum(jnp.max(jnp.abs(xf), axis=0, keepdims=True),
+                        1e-12) / 127.0  # (1, N) lanes
+        a_ref[...] = a
+        xq_ref[...] = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        w_ref[...], xq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (Jblk, N)
+    # same multiply order as qkv_q8_premapped_dmaj: (acc * a) * ws + bias
+    y = acc.astype(jnp.float32) * a_ref[...] * ws_ref[...] + b_ref[...]
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def qkv_q8_dmaj_fused(x, kernel, bias, n_heads: int, head_dim: int,
+                      interpret: bool = False):
+    """Pallas twin of qkv_q8_premapped_dmaj: per-token dynamic quantization,
+    int8 MXU dot, and f32 rescale all in VMEM (same rounding points and
+    multiply order — identical int8 tensors, f32 rescale agrees to ulp
+    level). x: (B, N, C) compute dtype;
+    kernel (C, 3C) f32; bias (3C,) f32 or None. Returns (B, 3, M, Dh, N).
+
+    The only XLA-side passes left are the (B, N, C)->(B, C, N) operand
+    transpose (12.6 MB for ViT-B, and XLA fuses the producing LN apply into
+    it) and the frozen-weight quantize."""
+    return _qkv_q8_dmaj_fused(x, kernel, bias, n_heads, head_dim, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _qkv_q8_dmaj_fused(x, kernel, bias, n_heads, head_dim, interpret):
+    return _qkv_q8_dmaj_forward(x, kernel, bias, n_heads, head_dim, interpret)
+
+
+def _qkv_dmaj_vjp_fwd(x, kernel, bias, n_heads, head_dim, interpret):
+    out = _qkv_q8_dmaj_forward(x, kernel, bias, n_heads, head_dim, interpret)
+    return out, (x, kernel, bias)
+
+
+def _qkv_dmaj_vjp_bwd(n_heads, head_dim, interpret, saved, ct):
+    x, kernel, bias = saved
+    if bias is None:
+        _, pullback = jax.vjp(
+            lambda x_, k_: qkv_q8_premapped_dmaj(x_, k_, None, n_heads,
+                                                 head_dim), x, kernel)
+        return pullback(ct) + (None,)
+    _, pullback = jax.vjp(
+        lambda x_, k_, b_: qkv_q8_premapped_dmaj(x_, k_, b_, n_heads,
+                                                 head_dim), x, kernel, bias)
+    return pullback(ct)
+
+
+_qkv_q8_dmaj_fused.defvjp(_qkv_dmaj_vjp_fwd, _qkv_dmaj_vjp_bwd)
+
+
+def _qkv_q8_dmaj_forward(x, kernel, bias, n_heads, head_dim, interpret):
+    B, N, C = x.shape
+    M, Dh = n_heads, head_dim
+    D3 = kernel.shape[1]
+    assert D3 == 3 * M * Dh, (D3, M, Dh)
+    wq, ws = quantize_weight(kernel)  # (C, 3C) int8, (3C,) f32
+    wq_t = wq.T  # (3C, C): output-rows-major for the (Jblk, C) blocks
+    x_t = jnp.swapaxes(x, 1, 2)  # (B, C, N); LN apply fuses into this copy
+    b_col = (bias if bias is not None
+             else jnp.zeros((D3,), jnp.float32)).reshape(D3, 1)
+    jblk = _pick_row_block32(D3)
+    out = pl.pallas_call(
+        _qkv_q8_dmaj_kernel,
+        grid=(B, -(-D3 // jblk)),
+        in_specs=[
+            pl.BlockSpec((jblk, C), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jblk, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((jblk, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jblk, N), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D3, N), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, N), jnp.int8),
+            pltpu.VMEM((1, N), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * D3,
+            bytes_accessed=x.dtype.itemsize * B * N * (C + D3) + C * D3,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wq_t, x_t, ws.reshape(D3, 1), b_col)
+    return out.reshape(B, 3, M, Dh, N)
+
+
 def qkv_q8_premapped_dmaj(x, kernel, bias, n_heads: int, head_dim: int):
     """int8 premapped QKV in the Dh-major layout (B, 3, M, Dh, N): the same
     per-token dynamic quantization + int8 einsum as qkv_q8_premapped, but

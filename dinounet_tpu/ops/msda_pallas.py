@@ -267,13 +267,34 @@ def _fwd_kernel_fused(shapes, P, build_dtype, off_ref, logit_ref, base_ref,
     base_ref:  (2*L*P, BLK) fp32 — ref*grid − 0.5, same interleaving; shared
                across (b, m).
     """
-    D = value_ref.shape[2]
+    _fused_core(shapes, P, build_dtype, off_ref[0, 0], logit_ref[0, 0],
+                base_ref, value_ref, out_ref)
+
+
+def _fwd_kernel_fused_merged(shapes, P, build_dtype, packed_ref, base_ref,
+                             value_ref, out_ref):
+    """Fused-prep forward over the MERGED projection buffer (round 5).
+
+    packed_ref: (1, 1, 3*L*P, BLK) — per head, rows [0, 2LP) are the raw
+    bf16 sampling offsets (x/y interleaved) and rows [2LP, 3LP) the raw
+    pre-softmax attention logits, as emitted by ONE channel-major einsum
+    whose weight matrix interleaves the sampling_offsets / attention_weights
+    kernels per head. The query activation is then read from HBM once per
+    extractor instead of twice (the two separate 66 MB dot reads the round-5
+    floor analysis flagged). Both slices are sublane-aligned (2LP = 8)."""
+    LP2 = 2 * len(shapes) * P
+    _fused_core(shapes, P, build_dtype, packed_ref[0, 0, :LP2],
+                packed_ref[0, 0, LP2:], base_ref, value_ref, out_ref)
+
+
+def _fused_core(shapes, P, build_dtype, off, logits, base_ref, value_ref,
+                out_ref):
     Q = out_ref.shape[3]
-    logits = logit_ref[0, 0].astype(jnp.float32)  # (LP, Q)
+    logits = logits.astype(jnp.float32)  # (LP, Q)
     logits = logits - jnp.max(logits, axis=0, keepdims=True)
     ex = jnp.exp(logits)
     s = ex / jnp.sum(ex, axis=0, keepdims=True)
-    coords = off_ref[0, 0].astype(jnp.float32) + base_ref[...]  # (2LP, Q)
+    coords = off.astype(jnp.float32) + base_ref[...]  # (2LP, Q)
     acc = None
     start = 0
     for lvl, (H, W) in enumerate(shapes):
@@ -408,6 +429,106 @@ def _premapped_fused_bwd(spatial_shapes, interpret, out_dtype, res, g):
 
 ms_deform_attn_pallas_premapped_fused.defvjp(_premapped_fused_fwd,
                                              _premapped_fused_bwd)
+
+
+def _forward_premapped_fused_merged(v, spatial_shapes, packed, base,
+                                    interpret=False, out_dtype=jnp.float32):
+    """Fused-prep forward over the merged projection buffer.
+
+    v (B, M, D, S) storage dtype; packed (B, M, 3*L*P, Lq) bf16 — per head,
+    rows [0, 2LP) raw offsets / rows [2LP, 3LP) raw logits (see
+    _fwd_kernel_fused_merged); base (2*L*P, Lq) fp32."""
+    from dinounet_tpu.configuration import msda_bf16_build
+
+    B, M, D, S = v.shape
+    LP3, Lq = packed.shape[2], packed.shape[3]
+    L = len(spatial_shapes)
+    LP = LP3 // 3
+    P = LP // L
+    build_dtype = jnp.bfloat16 if msda_bf16_build() else jnp.float32
+
+    blk = _pick_blk_q(Lq)
+    q_pad = (-Lq) % blk
+    if q_pad:
+        # zero offset/logit padding + out-of-range base: padded queries
+        # contribute nothing (same scheme as the unmerged variant)
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
+        base = jnp.pad(base, ((0, 0), (0, q_pad)), constant_values=-10.0)
+    Lq_p = packed.shape[3]
+    n_qb = Lq_p // blk
+
+    kernel = functools.partial(_fwd_kernel_fused_merged,
+                               tuple(spatial_shapes), P, build_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, M, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 3 * LP, blk), lambda b, m, q: (b, m, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * LP, blk), lambda b, m, q: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, S), lambda b, m, q: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, blk), lambda b, m, q: (b, m, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, D, Lq_p), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * D * S * Lq_p,
+            bytes_accessed=B * M * (2 * 3 * LP * Lq_p + 2 * D * S
+                                    + 4 * D * Lq_p),
+            transcendentals=B * M * LP * Lq_p,
+        ),
+        interpret=interpret,
+    )(packed, base, v)
+    if Lq_p != Lq:
+        out = out[:, :, :, :Lq]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def ms_deform_attn_pallas_premapped_fused_merged(
+        value_t, spatial_shapes: Tuple[Tuple[int, int], ...], packed, base,
+        interpret=False, out_dtype=jnp.float32):
+    """Fused-prep MSDA consuming the merged offsets+logits projection.
+
+    Forward-equal to ms_deform_attn_pallas_premapped_fused with
+    off = packed[:, :, :2LP], logits = packed[:, :, 2LP:] — but the adapter
+    emits `packed` from ONE einsum over the query (the sampling_offsets and
+    attention_weights kernels interleaved per head on the weight side), so
+    the 66 MB query activation is read once instead of twice per extractor
+    and no XLA slice pass materializes between the projection and this
+    custom call (round 5; configuration.msda_merged_proj)."""
+    return _forward_premapped_fused_merged(value_t, spatial_shapes, packed,
+                                           base, interpret, out_dtype)
+
+
+def _premapped_fused_merged_fwd(value_t, spatial_shapes, packed, base,
+                                interpret, out_dtype):
+    out = _forward_premapped_fused_merged(value_t, spatial_shapes, packed,
+                                          base, interpret, out_dtype)
+    return out, (value_t, packed, base)
+
+
+def _premapped_fused_merged_bwd(spatial_shapes, interpret, out_dtype, res, g):
+    value_t, packed, base = res
+    LP = packed.shape[2] // 3
+    off = packed[:, :, :2 * LP]
+    logits = packed[:, :, 2 * LP:]
+    B, M, _, Lq = logits.shape
+    xs, ys, s = _premapped_fused_prep(off, logits, base)
+    gv, gs, gx, gy = _backward_premapped(
+        value_t, spatial_shapes, xs, ys, s, g.astype(jnp.float32), interpret)
+    g_logits = (s * (gs - jnp.sum(gs * s, axis=2, keepdims=True))
+                ).astype(packed.dtype)
+    g_off = jnp.stack([gx, gy], axis=3).reshape(B, M, 2 * LP, Lq
+                                                ).astype(packed.dtype)
+    g_packed = jnp.concatenate([g_off, g_logits], axis=2)
+    return gv.astype(value_t.dtype), g_packed, jnp.zeros_like(base)
+
+
+ms_deform_attn_pallas_premapped_fused_merged.defvjp(
+    _premapped_fused_merged_fwd, _premapped_fused_merged_bwd)
 
 
 def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights,

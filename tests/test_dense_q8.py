@@ -216,6 +216,65 @@ class TestQkvPremapped:
             dmaj = np.asarray(qkv_q8_premapped_dmaj(x, k, bias, M, Dh))
             np.testing.assert_array_equal(dmaj, ndh.transpose(0, 1, 2, 4, 3))
 
+    def test_fused_kernel_matches_xla_dmaj(self, rng):
+        """qkv_q8_dmaj_fused (in-kernel quantize + int8 dot + rescale,
+        interpret mode) vs the XLA dmaj formulation: same rounding points
+        and multiply order, so the int8 tensors are identical and the f32
+        rescale agrees to ulp level (interpret vs XLA eager differ by FMA
+        contraction only) — round 5."""
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            qkv_q8_dmaj_fused, qkv_q8_premapped_dmaj)
+
+        B, N, C, M = 2, 21, 64, 4
+        Dh = C // M
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((C, 3 * C)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((3 * C,)), jnp.float32)
+        for bias in (b, None):
+            want = np.asarray(qkv_q8_premapped_dmaj(x, k, bias, M, Dh))
+            got = np.asarray(qkv_q8_dmaj_fused(x, k, bias, M, Dh,
+                                               interpret=True))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_fused_kernel_bf16_matches_xla_dmaj(self, rng):
+        """Same parity at the serving dtype (bf16 activations); the bf16
+        output rounding may flip at f32-ulp ties, so compare at 1-bf16-ulp
+        tolerance."""
+        from dinounet_tpu.ops.dense_q8_pallas import (
+            qkv_q8_dmaj_fused, qkv_q8_premapped_dmaj)
+
+        B, N, C, M = 2, 37, 64, 4
+        Dh = C // M
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((C, 3 * C)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((3 * C,)), jnp.float32)
+        want = np.asarray(qkv_q8_premapped_dmaj(x, k, b, M, Dh), np.float32)
+        got = np.asarray(qkv_q8_dmaj_fused(x, k, b, M, Dh, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got, want, rtol=8e-3, atol=8e-3)
+
+    def test_fused_kernel_grads_finite(self, rng):
+        """The custom VJP (reference-formulation pullback) produces finite
+        grads of the right shapes — the backbone is frozen on every DinoUNet
+        path, but jax.grad linearizes the whole graph first."""
+        from dinounet_tpu.ops.dense_q8_pallas import qkv_q8_dmaj_fused
+
+        B, N, C, M = 1, 16, 32, 2
+        Dh = C // M
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((C, 3 * C)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((3 * C,)), jnp.float32)
+
+        def loss(x_, k_, b_):
+            return jnp.sum(qkv_q8_dmaj_fused(x_, k_, b_, M, Dh,
+                                             interpret=True) ** 2)
+
+        gx, gk, gb = jax.grad(loss, argnums=(0, 1, 2))(x, k, b)
+        assert gx.shape == x.shape and gk.shape == k.shape
+        assert gb.shape == b.shape
+        for g in (gx, gk, gb):
+            assert np.all(np.isfinite(np.asarray(g)))
+
 
 class TestModelPath:
     def _setup(self, rng):

@@ -308,6 +308,71 @@ def test_converter_bf16_checkpoint(tmp_path):
     np.testing.assert_array_equal(ref, np.asarray(k, np.float32))
 
 
+class TestSplitConcatDecoder:
+    """conv0(concat(up, skip)) == conv0[:, :, :C](up) + conv0[:, :, C:](skip)
+    (models/decoder.py::_split_concat_stage, configuration.
+    decoder_concat_impl): same param tree, same outputs up to f32
+    accumulation order, same gradients."""
+
+    def _decoder(self, dtype=jnp.bfloat16):
+        from dinounet_tpu.models.decoder import UNetDecoder
+
+        dec = UNetDecoder(
+            encoder_channels=[8, 16, 32],
+            encoder_strides=[(2, 2), (2, 2), (2, 2)],
+            encoder_kernel_sizes=[(3, 3), (3, 3), (3, 3)],
+            num_classes=3, n_conv_per_stage=[2, 2], deep_supervision=True,
+            dtype=dtype)
+        rng = np.random.default_rng(7)
+        skips = [jnp.asarray(rng.normal(size=s), dtype) for s in
+                 [(2, 16, 16, 8), (2, 8, 8, 16), (2, 4, 4, 32)]]
+        return dec, skips
+
+    @pytest.mark.parametrize("train", [False, True])
+    def test_param_tree_and_forward_match(self, train, monkeypatch):
+        dec, skips = self._decoder(jnp.float32)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_CONCAT", "concat")
+        v = dec.init(jax.random.PRNGKey(0), skips, train=train)
+        ref = dec.apply(v, skips, train=train)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_CONCAT", "split")
+        v2 = dec.init(jax.random.PRNGKey(0), skips, train=train)
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(v2)
+        got = dec.apply(v, skips, train=train)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_bf16_forward_close(self, monkeypatch):
+        dec, skips = self._decoder(jnp.bfloat16)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_CONCAT", "concat")
+        v = dec.init(jax.random.PRNGKey(0), skips)
+        ref = dec.apply(v, skips)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_CONCAT", "split")
+        got = dec.apply(v, skips)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=0.05, atol=0.05)
+
+    def test_gradients_match(self, monkeypatch):
+        dec, skips = self._decoder(jnp.float32)
+        monkeypatch.setenv("DINOUNET_TPU_DECODER_CONCAT", "concat")
+        v = dec.init(jax.random.PRNGKey(0), skips, train=True)
+
+        def loss(params, impl):
+            monkeypatch.setenv("DINOUNET_TPU_DECODER_CONCAT", impl)
+            outs = dec.apply({"params": params}, skips, train=True)
+            return sum(jnp.sum(o * o) for o in outs)
+
+        g_ref = jax.grad(lambda p: loss(p, "concat"))(v["params"])
+        g_spl = jax.grad(lambda p: loss(p, "split"))(v["params"])
+        flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+        flat_s, _ = jax.tree_util.tree_flatten(g_spl)
+        for a, b in zip(flat_r, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+
+
 class TestPhaseResize:
     """Phase-decomposed integer-ratio bilinear resize vs the matmul path
     (models/layers.py::_phase_axis_resize) and vs torch F.interpolate."""

@@ -246,6 +246,11 @@ class TestModuleBranchParity:
             lambda v, s, off, logits, base, interp=False,
             out_dtype=jnp.float32:
                 orig_fused(v, s, off, logits, base, True, out_dtype))
+        orig_merged = msda_pallas._forward_premapped_fused_merged
+        monkeypatch.setattr(
+            msda_pallas, "_forward_premapped_fused_merged",
+            lambda v, s, packed, base, interp=False, out_dtype=jnp.float32:
+                orig_merged(v, s, packed, base, True, out_dtype))
 
         B, Lq, E = 2, 21, 32
         shapes = ((4, 4),)
@@ -391,10 +396,14 @@ class TestFusedPrep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
-    def test_module_fused_branch_matches_dense_branch(self, rng, monkeypatch):
+    @pytest.mark.parametrize("merged", ["0", "1"])
+    def test_module_fused_branch_matches_dense_branch(self, rng, monkeypatch,
+                                                      merged):
         """MSDeformAttn with DINOUNET_TPU_MSDA_PREP=fused == the Dense/gather
         branch from identical params (the fused analogue of
-        TestModuleBranchParity)."""
+        TestModuleBranchParity) — with and without the round-5 merged
+        offsets+logits projection, which must keep the param tree and output
+        identical."""
         from dinounet_tpu.models.adapter import (
             MSDeformAttn,
             reference_points_for_grids,
@@ -407,6 +416,11 @@ class TestFusedPrep:
             lambda v, s, off, logits, base, interp=False,
                    out_dtype=jnp.float32:
                 orig(v, s, off, logits, base, True, out_dtype))
+        orig_m = msda_pallas._forward_premapped_fused_merged
+        monkeypatch.setattr(
+            msda_pallas, "_forward_premapped_fused_merged",
+            lambda v, s, packed, base, interp=False, out_dtype=jnp.float32:
+                orig_m(v, s, packed, base, True, out_dtype))
 
         B, Lq, E = 2, 21, 32
         shapes = ((4, 4),)
@@ -424,6 +438,7 @@ class TestFusedPrep:
 
         monkeypatch.setenv("DINOUNET_TPU_MSDA_IMPL", "pallas")
         monkeypatch.setenv("DINOUNET_TPU_MSDA_PREP", "fused")
+        monkeypatch.setenv("DINOUNET_TPU_MSDA_MERGED_PROJ", merged)
         variables_f = mod.init(jax.random.PRNGKey(0), query, ref_pts, tokens,
                                shapes)
         assert jax.tree_util.tree_structure(variables) == \
@@ -433,3 +448,56 @@ class TestFusedPrep:
         np.testing.assert_allclose(np.asarray(out_dense),
                                    np.asarray(out_fused),
                                    rtol=2e-5, atol=2e-5)
+
+    @staticmethod
+    def _pack(off, logits):
+        B, M, LP2, Lq = off.shape
+        LP = logits.shape[2]
+        return jnp.concatenate([off, logits], axis=2)
+
+    @pytest.mark.parametrize("Lq", [37, 128])
+    def test_merged_forward_matches_unmerged(self, rng, Lq):
+        """The merged-buffer kernel == the separate-buffer fused kernel,
+        bitwise (same in-VMEM prep, only the BlockSpec source differs)."""
+        from dinounet_tpu.ops.msda_pallas import (
+            ms_deform_attn_pallas_premapped_fused,
+            ms_deform_attn_pallas_premapped_fused_merged,
+        )
+
+        v, off, logits, base, shapes = self._fused_inputs(rng, Lq=Lq)
+        ref = ms_deform_attn_pallas_premapped_fused(
+            v, shapes, off, logits, base, True)
+        got = ms_deform_attn_pallas_premapped_fused_merged(
+            v, shapes, self._pack(off, logits), base, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=0)
+
+    def test_merged_grads_match_unmerged(self, rng):
+        """d/d{value, packed} through the merged custom_vjp must equal the
+        separate-buffer fused custom_vjp's grads, re-packed."""
+        from dinounet_tpu.ops.msda_pallas import (
+            ms_deform_attn_pallas_premapped_fused,
+            ms_deform_attn_pallas_premapped_fused_merged,
+        )
+
+        v, off, logits, base, shapes = self._fused_inputs(
+            rng, B=1, M=2, D=4, Lq=29, shapes=((6, 8),), P=2)
+        packed = self._pack(off, logits)
+
+        def f_merged(v_, packed_):
+            out = ms_deform_attn_pallas_premapped_fused_merged(
+                v_, shapes, packed_, base, True)
+            return (out ** 2).sum()
+
+        def f_sep(v_, packed_):
+            LP = packed_.shape[2] // 3
+            out = ms_deform_attn_pallas_premapped_fused(
+                v_, shapes, packed_[:, :, :2 * LP], packed_[:, :, 2 * LP:],
+                base, True)
+            return (out ** 2).sum()
+
+        g_m = jax.grad(f_merged, argnums=(0, 1))(v, packed)
+        g_s = jax.grad(f_sep, argnums=(0, 1))(v, packed)
+        for a, b in zip(g_m, g_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)

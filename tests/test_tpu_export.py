@@ -99,6 +99,28 @@ class TestMSDAExports:
 
         tpu_export(jax.grad(loss, argnums=(0, 1, 2)), v, off, lg, base)
 
+    def test_merged_prep_forward_and_grad(self):
+        """Round 5: the merged offsets+logits buffer variant (one packed
+        (B, M, 3LP, Lq) operand consumed via sliced BlockSpecs)."""
+        from dinounet_tpu.ops.msda_pallas import (
+            ms_deform_attn_pallas_premapped_fused_merged,
+        )
+
+        v = S((2, 2, 8, 256), BF)
+        packed = S((2, 2, 12, 256), BF)
+        base = S((8, 256), F32)
+
+        def f(v, packed, base):
+            return ms_deform_attn_pallas_premapped_fused_merged(
+                v, self.shapes, packed, base, False, jnp.bfloat16)
+
+        tpu_export(f, v, packed, base)
+
+        def loss(v, packed, base):
+            return jnp.sum(f(v, packed, base).astype(jnp.float32))
+
+        tpu_export(jax.grad(loss, argnums=(0, 1)), v, packed, base)
+
     def test_reference_layout(self):
         from dinounet_tpu.ops.msda_pallas import ms_deform_attn_pallas
 
@@ -156,6 +178,15 @@ class TestDenseAttentionExports:
         tpu_export(jax.grad(loss, argnums=(3, 4)),
                    S((2, 256, 128), BF), S((128, 128), F32), S((128,), F32),
                    S((2, 256, 128), BF), S((128,), F32))
+
+    def test_qkv_q8_dmaj_fused(self):
+        """Round 5: the fused int8 dmaj qkv kernel (in-kernel quantize +
+        rescale, VMEM scratch) — fwd at ViT-B-like shapes."""
+        from dinounet_tpu.ops.dense_q8_pallas import qkv_q8_dmaj_fused
+
+        tpu_export(
+            lambda x, k, b: qkv_q8_dmaj_fused(x, k, b, 4, 32),
+            S((2, 1029, 128), BF), S((128, 384), F32), S((384,), F32))
 
     def test_fused_rope_attention_both_layouts(self):
         from dinounet_tpu.ops.attention_pallas import (

@@ -189,6 +189,18 @@ def gate_kernels():
     gate("msda_premapped_fused[fwd]",
          lambda a: mp.ms_deform_attn_pallas_premapped_fused(
              a, shapes, off, logits, base), v)
+    packed = jnp.concatenate([off, logits], axis=2)
+    gate("msda_premapped_fused_merged[fwd]",
+         lambda a: mp.ms_deform_attn_pallas_premapped_fused_merged(
+             a, shapes, packed, base), v)
+
+    from dinounet_tpu.ops import dense_q8_pallas as q8
+
+    xq = _rand(next(ks), (2, 256, 128))
+    kq = _rand(next(ks), (128, 384), jnp.float32)
+    bq = _rand(next(ks), (384,), jnp.float32)
+    gate("qkv_q8_dmaj_fused[fwd]",
+         lambda a: q8.qkv_q8_dmaj_fused(a, kq, bq, 2, 64), xq)
 
 
 def gate_forward(model_name="dinounet_b", batch=8):
