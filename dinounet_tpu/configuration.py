@@ -387,6 +387,16 @@ def decoder_concat_impl() -> str:
     same param tree (the kernel is sliced, not re-declared); numerics agree
     up to f32-accumulation order inside the dot.
 
+    MEASURED A BIG LOSS round 5 (train step dinounet_s batch 2:
+    split 77.6/77.7 vs concat 60.8/60.7 ms/iter, duplicate subprocess
+    rows): what the trace attributes to "concatenate" is mostly the 3-tap
+    windowed-input build of XLA's spatial-partitioned conv algorithm, and
+    splitting conv0 into two convs makes each pay its OWN windowed build +
+    halo — duplicating exactly the work the merge was meant to remove.
+    Default stays "concat"; the knob is parity-/gradient-tested
+    (tests/test_models.py::TestSplitConcatDecoder) so the measurement is
+    reproducible.
+
     Env DINOUNET_TPU_DECODER_CONCAT in {"concat", "split"}; applies to the
     plain flax stage path (train and eval); the fused/hwbc/wide inference
     paths keep their own formulations."""
