@@ -33,6 +33,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -65,9 +66,15 @@ def _run(cmd, env=None, timeout=3600):
         proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                               text=True, timeout=timeout)
         dt = time.perf_counter() - t0
-        tail = (proc.stdout + proc.stderr).strip().splitlines()
-        return proc.returncode, dt, (tail[-1][:300] if tail else ""), \
-            proc.stdout
+        lines = (proc.stdout + proc.stderr).strip().splitlines()
+        # detail = the last *informative* line: skip log-noise (jax/absl
+        # WARNING banners, glog E/I/W-prefixed lines) when anything else
+        # is available
+        noise = re.compile(r"^(WARNING|[EIWF]\d{4} )")
+        informative = [ln for ln in lines if ln.strip()
+                       and not noise.match(ln.strip())]
+        tail = (informative or lines)[-1] if lines else ""
+        return proc.returncode, dt, tail[:300], proc.stdout
     except subprocess.TimeoutExpired:
         return -1, time.perf_counter() - t0, f"timeout after {timeout}s", ""
 
@@ -168,6 +175,27 @@ def main():
                            f"{'ok' if rc == 0 else tail}")
         record("convert_real_checkpoints", "pass" if ok else "fail",
                time.perf_counter() - t0, "; ".join(details))
+
+    # 5c (ordered before 5b for TPU affinity). int8 trained-accuracy
+    # validation — the serving mode's documented flip prerequisite
+    # (BASELINE.md §5). Auto-unskips when a trained learnability workdir is
+    # supplied; needs a TPU (the validation re-runs sliding-window
+    # inference with the mode off vs on).
+    wd = os.environ.get("DINOUNET_TPU_TRAINED_WORKDIR", "")
+    if not wd or not os.path.isdir(wd):
+        record("int8_trained_accuracy", "skip", 0,
+               "set DINOUNET_TPU_TRAINED_WORKDIR to a learnability workdir "
+               "(tools/learnability_run.py or a real training run) to "
+               "measure the int8 serving mode's end-to-end Dice delta: "
+               "python tools/int8_accuracy_experiment.py --trained <wd>")
+    elif not tpu:
+        record("int8_trained_accuracy", "skip", 0, "needs a TPU backend")
+    else:
+        rc, dt, tail, _ = _run(
+            [sys.executable, "tools/int8_accuracy_experiment.py",
+             "--trained", wd], env=dict(os.environ), timeout=3600)
+        record("int8_trained_accuracy", "pass" if rc == 0 else "fail", dt,
+               tail)
 
     # 5b. python-blosc2 interop (auto-unskips where the package exists)
     rc, _, _, _ = _run([sys.executable, "-c", "import blosc2"],
