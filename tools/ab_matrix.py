@@ -204,7 +204,37 @@ HWBC_MATRIX = {
     "hwbc-2": {"DINOUNET_TPU_DECODER_HWBC": "auto"},
 }
 
+# round-5 knobs, all measured and default-off (BASELINE.md Appendix B):
+# merged MSDA offsets+logits projection (neutral — query reads are
+# overlap-hidden), W-first resize contraction order (neutral), in-kernel
+# int8 qkv quantize (slightly negative — XLA already fuses the passes).
+MERGED_PROJ_MATRIX = {
+    "separate":   {"DINOUNET_TPU_MSDA_MERGED_PROJ": "0"},
+    "merged":     {"DINOUNET_TPU_MSDA_MERGED_PROJ": "1"},
+    "separate-2": {"DINOUNET_TPU_MSDA_MERGED_PROJ": "0"},
+    "merged-2":   {"DINOUNET_TPU_MSDA_MERGED_PROJ": "1"},
+}
+RESIZE_ORDER_MATRIX = {
+    "hw":   {"DINOUNET_TPU_RESIZE_ORDER": "hw"},
+    "wh":   {"DINOUNET_TPU_RESIZE_ORDER": "wh"},
+    "hw-2": {"DINOUNET_TPU_RESIZE_ORDER": "hw"},
+    "wh-2": {"DINOUNET_TPU_RESIZE_ORDER": "wh"},
+}
+INT8_QKV_IMPL_MATRIX = {
+    "xla":      {"DINOUNET_TPU_VIT_INT8": "1",
+                 "DINOUNET_TPU_INT8_QKV_IMPL": "xla"},
+    "kernel":   {"DINOUNET_TPU_VIT_INT8": "1",
+                 "DINOUNET_TPU_INT8_QKV_IMPL": "kernel"},
+    "xla-2":    {"DINOUNET_TPU_VIT_INT8": "1",
+                 "DINOUNET_TPU_INT8_QKV_IMPL": "xla"},
+    "kernel-2": {"DINOUNET_TPU_VIT_INT8": "1",
+                 "DINOUNET_TPU_INT8_QKV_IMPL": "kernel"},
+}
+
 MATRICES = {"full": FULL_MATRIX, "quick": QUICK_MATRIX, "int8": INT8_MATRIX,
+            "merged_proj": MERGED_PROJ_MATRIX,
+            "resize_order": RESIZE_ORDER_MATRIX,
+            "int8_qkv_impl": INT8_QKV_IMPL_MATRIX,
             "segimpl": SEGIMPL_MATRIX, "hwbc": HWBC_MATRIX,
             "wide": WIDE_MATRIX, "seg": SEG_MATRIX, "inner": INNER_MATRIX,
             "backbone": BACKBONE_MATRIX, "mlprows": MLPROWS_MATRIX,
