@@ -24,9 +24,18 @@ and emits ONE JSON verdict line:
    b. python-blosc2 container interop: runs tests/test_b2nd.py where the
       real python-blosc2 package is importable (the interop tests un-skip
       themselves).
+   c. the int8 serving mode's flip prerequisite (BASELINE.md §5): the
+      end-to-end Dice delta via tools/int8_accuracy_experiment.py
+      --trained, when DINOUNET_TPU_TRAINED_WORKDIR points at a trained
+      workdir and a TPU is reachable.
 
 Exit code 0 iff every non-skipped step passed. The verdict JSON names each
-step's status/duration/detail so CI or a deployer reads one line.
+step's status/duration/detail so CI or a deployer reads one line; each
+step's full stdout/stderr lands in .bench_logs/release_gate_logs/.
+
+Run the gate alone: a concurrent JAX compile on this class of machine
+starves both jobs (CPU contention multiplies compile times and can wedge
+the TPU relay client — the verify skill's standing rule).
 """
 
 import argparse
@@ -60,12 +69,21 @@ def _cpu_env():
     return env
 
 
-def _run(cmd, env=None, timeout=3600):
+LOG_DIR = os.path.join(REPO, ".bench_logs", "release_gate_logs")
+
+
+def _run(cmd, env=None, timeout=3600, log_name=None):
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                               text=True, timeout=timeout)
         dt = time.perf_counter() - t0
+        if log_name:  # full output per step, so failures are diagnosable
+            os.makedirs(LOG_DIR, exist_ok=True)
+            with open(os.path.join(LOG_DIR, log_name + ".log"), "w") as f:
+                f.write(f"$ {' '.join(cmd)}\nrc={proc.returncode} "
+                        f"dt={dt:.1f}s\n--- stdout ---\n{proc.stdout}"
+                        f"\n--- stderr ---\n{proc.stderr}")
         lines = (proc.stdout + proc.stderr).strip().splitlines()
         # detail = the last *informative* line: skip log-noise (jax/absl
         # WARNING banners, glog E/I/W-prefixed lines) when anything else
@@ -108,7 +126,7 @@ def main():
     tests = QUICK_TESTS if args.quick else ["tests/"]
     rc, dt, tail, _ = _run(
         [sys.executable, "-m", "pytest", *tests, "-q"],
-        env=_cpu_env(), timeout=3600)
+        env=_cpu_env(), timeout=3600, log_name="pytest")
     record("pytest(cpu-mesh)", "pass" if rc == 0 else "fail", dt, tail)
 
     # 2+3. real-TPU steps
@@ -120,11 +138,12 @@ def main():
     else:
         rc, dt, tail, _ = _run(
             [sys.executable, "tools/lowering_gate.py", "--quick"],
-            env=dict(os.environ), timeout=1800)
+            env=dict(os.environ), timeout=1800, log_name="lowering_gate")
         record("lowering_gate(tpu)", "pass" if rc == 0 else "fail", dt, tail)
 
         rc, dt, _, out = _run([sys.executable, "bench.py"],
-                              env=dict(os.environ), timeout=3600)
+                              env=dict(os.environ), timeout=3600,
+                              log_name="bench")
         bench_detail, bench_ok = "", rc == 0
         if rc == 0:
             for line in reversed(out.strip().splitlines()):
@@ -140,11 +159,12 @@ def main():
 
     # 4. multichip dry runs (virtual CPU mesh)
     rc, dt, tail, _ = _run(
-        [sys.executable, "__graft_entry__.py"], env=_cpu_env(), timeout=1800)
+        [sys.executable, "__graft_entry__.py"], env=_cpu_env(), timeout=1800,
+        log_name="dryrun_multichip")
     record("dryrun_multichip(8)", "pass" if rc == 0 else "fail", dt, tail)
     rc, dt, tail, _ = _run(
         [sys.executable, "__graft_entry__.py", "--7b-block"],
-        env=_cpu_env(), timeout=1800)
+        env=_cpu_env(), timeout=1800, log_name="dryrun_7b_block")
     record("dryrun_7b_block(8)", "pass" if rc == 0 else "fail", dt, tail)
 
     # 5a. real-checkpoint conversion (auto-unskips where weights exist)
@@ -193,7 +213,8 @@ def main():
     else:
         rc, dt, tail, _ = _run(
             [sys.executable, "tools/int8_accuracy_experiment.py",
-             "--trained", wd], env=dict(os.environ), timeout=3600)
+             "--trained", wd], env=dict(os.environ), timeout=3600,
+            log_name="int8_trained_accuracy")
         record("int8_trained_accuracy", "pass" if rc == 0 else "fail", dt,
                tail)
 
@@ -208,7 +229,7 @@ def main():
     else:
         rc, dt, tail, _ = _run(
             [sys.executable, "-m", "pytest", "tests/test_b2nd.py", "-q"],
-            env=_cpu_env(), timeout=1800)
+            env=_cpu_env(), timeout=1800, log_name="blosc2_interop")
         record("blosc2_interop", "pass" if rc == 0 else "fail", dt, tail)
 
     ok = all(s["status"] != "fail" for s in steps)
