@@ -157,15 +157,31 @@ def main():
                     break
         record("bench(tpu)", "pass" if bench_ok else "fail", dt, bench_detail)
 
-    # 4. multichip dry runs (virtual CPU mesh)
-    rc, dt, tail, _ = _run(
-        [sys.executable, "__graft_entry__.py"], env=_cpu_env(), timeout=1800,
-        log_name="dryrun_multichip")
-    record("dryrun_multichip(8)", "pass" if rc == 0 else "fail", dt, tail)
-    rc, dt, tail, _ = _run(
-        [sys.executable, "__graft_entry__.py", "--7b-block"],
-        env=_cpu_env(), timeout=1800, log_name="dryrun_7b_block")
-    record("dryrun_7b_block(8)", "pass" if rc == 0 else "fail", dt, tail)
+    # 4. multichip dry runs (virtual CPU mesh). One bounded retry: XLA:CPU's
+    # in-process collectives carry a hard 40 s rendezvous watchdog, and on a
+    # single-core host the OS occasionally fails to schedule all 8 device
+    # threads inside it (observed once in three otherwise-identical runs —
+    # rendezvous.cc check-fail inside the scan's WhileThunk). A real
+    # sharding/model failure reproduces on the retry.
+    def dryrun(step, argv, log_name):
+        for attempt in (1, 2):
+            rc, dt, tail, _ = _run([sys.executable, *argv], env=_cpu_env(),
+                                   timeout=1800, log_name=log_name)
+            if rc == 0 or attempt == 2:
+                break
+            try:
+                full = open(os.path.join(LOG_DIR, log_name + ".log")).read()
+            except OSError:
+                full = ""
+            if "rendezvous" not in full.lower():
+                break  # a real failure — don't mask it with a retry
+            print(f"[retry] {step}: collective-rendezvous watchdog flake, "
+                  "re-running once", file=sys.stderr, flush=True)
+        record(step, "pass" if rc == 0 else "fail", dt, tail)
+
+    dryrun("dryrun_multichip(8)", ["__graft_entry__.py"], "dryrun_multichip")
+    dryrun("dryrun_7b_block(8)", ["__graft_entry__.py", "--7b-block"],
+           "dryrun_7b_block")
 
     # 5a. real-checkpoint conversion (auto-unskips where weights exist)
     ckpt_dir = os.environ.get("DINOUNET_TPU_CKPT_DIR", "dinounet/checkpoints")
