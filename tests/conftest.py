@@ -10,7 +10,17 @@ import os
 # Must be set before jax initializes its backends.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU's in-process collectives abort the whole process (SIGABRT)
+    # when the 8 virtual-device threads don't all reach a rendezvous
+    # within a hard 40 s watchdog — which a single-core host's scheduler
+    # intermittently violates under the scanned backbone's per-iteration
+    # collectives (observed ~50% in the full quick-suite run). Raise the
+    # watchdog: a genuine deadlock still aborts, just later.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 # Pure-JAX MSDA on CPU (the Pallas kernel is tested explicitly in interpret mode).
 os.environ.setdefault("DINOUNET_TPU_MSDA_IMPL", "jax")
 

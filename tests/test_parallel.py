@@ -284,23 +284,54 @@ def test_batchnorm_is_sync_under_gspmd(cpu8):
             rtol=1e-5, atol=1e-6)
 
 
-def test_dryrun_multichip_gate():
-    """Run the driver's multichip gate (__graft_entry__.dryrun_multichip) on
-    the 8 virtual CPU devices, exactly as the driver does. Guards two things:
-    the GSPMD train step compiles+executes on a (4, 2) ('data','model') mesh,
-    and the device-selection logic stays hermetic — it must pick the CPU
-    devices without ever touching the default (possibly wedged-TPU) backend.
-    """
+def _run_graft_gate(extra_argv, attempts=3, timeout_s=600):
+    """Run a __graft_entry__ dry-run gate in a fresh subprocess, as the
+    driver does (uninitialized backends -> the hermetic CPU-platform path).
+
+    Subprocess isolation is load-bearing, not style: executing the 8-virtual-
+    device SPMD step IN the pytest process intermittently either SIGABRTs the
+    whole suite (XLA:CPU's 40 s collective-rendezvous watchdog firing when
+    the single-core scheduler starves a device thread) or, with the watchdog
+    raised, stalls >7 min inside native execution (round-5 probe: the main
+    thread parked in block_until_ready, zero rendezvous-stuck warnings —
+    a liveness pathology of 8 device threads on 1 core, not a model bug;
+    the same step otherwise completes in ~40-90 s and passed 480-test suite
+    runs twice the same day). One bounded retry; a real sharding/model
+    failure reproduces and fails both attempts."""
+    import subprocess
     import sys
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-    try:
-        import __graft_entry__
-    finally:
-        sys.path.pop(0)
+    root = Path(__file__).resolve().parents[1]
+    last = None
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(root / "__graft_entry__.py"),
+                 *extra_argv],
+                cwd=root, capture_output=True, text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = f"timeout after {timeout_s}s (attempt {attempt + 1})"
+            continue
+        if proc.returncode == 0:
+            return
+        last = (f"rc={proc.returncode} (attempt {attempt + 1})\n"
+                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        # negative returncode = killed by signal (the watchdog's SIGABRT)
+        # and timeouts are the liveness flake; a python-level failure
+        # (positive rc, traceback in output) is real — fail fast
+        if proc.returncode > 0:
+            break
+    raise AssertionError(f"graft gate {extra_argv or ['multichip']} failed: "
+                         f"{last}")
 
-    __graft_entry__.dryrun_multichip(8)
+
+def test_dryrun_multichip_gate():
+    """Run the driver's multichip gate (__graft_entry__.dryrun_multichip) on
+    the 8 virtual CPU devices, exactly as the driver does: the GSPMD train
+    step compiles+executes on a (4, 2) ('data','model') mesh with the
+    scanned swiglu stand-in and stacked-shard assertions."""
+    _run_graft_gate([])
 
 
 def test_dryrun_7b_block_gate():
@@ -309,13 +340,4 @@ def test_dryrun_7b_block_gate():
     assertions — qkv/proj/w1/w2/w3 column/row splits at embed 4096, 32 heads,
     swiglu64 hidden 8192 — must run on every suite pass, not only via the
     script's __main__)."""
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-    try:
-        import __graft_entry__
-    finally:
-        sys.path.pop(0)
-
-    __graft_entry__.dryrun_7b_block(8)
+    _run_graft_gate(["--7b-block"])

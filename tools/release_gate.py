@@ -64,8 +64,14 @@ def _cpu_env():
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        # raise XLA:CPU's 40 s collective-rendezvous SIGABRT watchdog —
+        # single-core scheduling of 8 device threads intermittently
+        # violates it (same rationale as tests/conftest.py)
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+    env["XLA_FLAGS"] = flags
     return env
 
 
