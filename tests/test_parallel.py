@@ -310,8 +310,12 @@ def _run_graft_gate(extra_argv, attempts=3, timeout_s=600):
                 [sys.executable, str(root / "__graft_entry__.py"),
                  *extra_argv],
                 cwd=root, capture_output=True, text=True, timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            last = f"timeout after {timeout_s}s (attempt {attempt + 1})"
+        except subprocess.TimeoutExpired as e:
+            def _txt(b):
+                return (b.decode(errors="replace") if isinstance(b, bytes)
+                        else (b or ""))
+            last = (f"timeout after {timeout_s}s (attempt {attempt + 1})\n"
+                    f"{_txt(e.stdout)[-1500:]}\n{_txt(e.stderr)[-1500:]}")
             continue
         if proc.returncode == 0:
             return
