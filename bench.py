@@ -240,6 +240,29 @@ def main():
         _child(int(sys.argv[2]), production=True)
         return
 
+    # Fail fast when the TPU backend is unreachable: during a relay wedge —
+    # or after the tunnel process dies outright — `import jax` +
+    # `jax.devices()` blocks FOREVER in backend init (no client-side
+    # timeout), so probe in a killable subprocess first and emit a
+    # diagnosable JSON line instead of hanging the harness.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('OK')"],
+            capture_output=True, text=True, timeout=180)
+        backend_ok = probe.returncode == 0 and "OK" in probe.stdout
+        backend_err = "" if backend_ok else \
+            (probe.stderr.strip().splitlines() or ["backend init failed"])[-1]
+    except subprocess.TimeoutExpired:
+        backend_ok, backend_err = False, \
+            "backend init blocked >180s (relay wedged or tunnel dead)"
+    if not backend_ok:
+        print(json.dumps({
+            "metric": "sliding_window_patches_per_sec_dinounet_b",
+            "value": None, "unit": "patches/sec/chip",
+            "error": f"no usable TPU backend: {backend_err[:300]}",
+            "environment_suspect": True}), flush=True)
+        return
+
     import jax
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
