@@ -284,7 +284,7 @@ def test_batchnorm_is_sync_under_gspmd(cpu8):
             rtol=1e-5, atol=1e-6)
 
 
-def _run_graft_gate(extra_argv, attempts=3, timeout_s=600):
+def _run_graft_gate(extra_argv, attempts=3, timeout_s=300):
     """Run a __graft_entry__ dry-run gate in a fresh subprocess, as the
     driver does (uninitialized backends -> the hermetic CPU-platform path).
 
